@@ -1,0 +1,274 @@
+"""Configuration system.
+
+Frozen dataclasses mirroring the reference's three YAML config files
+(/root/reference/config/{app_imgproc.yaml, app_msckfvio.yaml,
+camchain-imucam-euroc.yaml}; loaded at image_processor.cpp:75,
+msckf_vio.cpp:59, system.cpp:13).  Defaults equal the reference's EuRoC
+values so a config-less construction reproduces the reference setup.
+
+Being frozen dataclasses of Python scalars/tuples, configs are hashable and
+can be passed as static arguments to jitted functions; array-valued
+calibration (intrinsics, extrinsics) is materialized on demand via the
+``*_array`` helpers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import yaml
+
+Vec3 = Tuple[float, float, float]
+Vec4 = Tuple[float, float, float, float]
+Mat4 = Tuple[float, ...]  # 16 row-major entries
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Mirror of app_imgproc.yaml (reference image_processor.h:75-88)."""
+
+    grid_row: int = 4
+    grid_col: int = 5
+    grid_min_feature_num: int = 3
+    grid_max_feature_num: int = 4
+    pyramid_levels: int = 4  # reference hardcodes 4 (image_processor.cpp:232)
+    patch_size: int = 15
+    fast_threshold: int = 10
+    max_iteration: int = 30
+    track_precision: float = 0.01
+    ransac_threshold: float = 3.0
+    stereo_threshold: float = 5.0
+    # TPU-native additions: static capacity of the feature track pool.
+    # grid_row*grid_col*grid_max_feature_num = 80 live tracks max; the pool
+    # is padded for alignment and new-candidate staging.
+    max_features: int = 96
+    # Per-cell candidate budget for the FAST detector's occupancy grid
+    # (vikit CornerDetector(30, 47, thr): ~16 px cells for 752x480).
+    detector_cell: int = 16
+
+    @property
+    def num_grids(self) -> int:
+        return self.grid_row * self.grid_col
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Mirror of app_msckfvio.yaml (reference msckf_vio.cpp:58-112)."""
+
+    frame_rate: float = 20.0
+    max_cam_state_size: int = 20
+    position_std_threshold: float = 8.0
+    rotation_threshold: float = 0.2618
+    translation_threshold: float = 0.4
+    tracking_rate_threshold: float = 0.5
+    feature_translation_threshold: float = -1.0
+    # Standard deviations; squared into variances on use (msckf_vio.cpp:77-81).
+    noise_gyro: float = 0.005
+    noise_acc: float = 0.05
+    noise_gyro_bias: float = 0.001
+    noise_acc_bias: float = 0.01
+    noise_feature: float = 0.035
+    initial_velocity: Vec3 = (0.0, 0.0, 0.0)
+    initial_cov_velocity: float = 0.25
+    initial_cov_gyro_bias: float = 0.01
+    initial_cov_acc_bias: float = 0.01
+    initial_cov_extrinsic_rotation: float = 3.0462e-4
+    initial_cov_extrinsic_translation: float = 2.5e-5
+    # TPU-native static capacities (replace dynamic std::map state).
+    max_tracks: int = 128  # feature map_server pool size
+    max_imu_per_frame: int = 16  # IMU slots per frame batch (EuRoC: ~10)
+    max_update_tracks: int = 40  # tracks consumed per measurement update
+    # Stacked-row cap for the update; reference caps at 1500 (msckf_vio.cpp:1009)
+    max_update_rows: int = 1024
+    imu_init_samples: int = 200  # gravity/bias init window (msckf_vio.cpp:196)
+
+    @property
+    def gyro_noise_var(self) -> float:
+        return self.noise_gyro**2
+
+    @property
+    def acc_noise_var(self) -> float:
+        return self.noise_acc**2
+
+    @property
+    def gyro_bias_noise_var(self) -> float:
+        return self.noise_gyro_bias**2
+
+    @property
+    def acc_bias_noise_var(self) -> float:
+        return self.noise_acc_bias**2
+
+    @property
+    def observation_noise_var(self) -> float:
+        return self.noise_feature**2
+
+    @property
+    def state_dim(self) -> int:
+        """Error-state dimension: 21 IMU + 6 per cam slot (all preallocated)."""
+        return 21 + 6 * self.max_cam_state_size
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraCalib:
+    """One camera's Kalibr entry (camchain-imucam yaml)."""
+
+    intrinsics: Vec4  # fx, fy, cx, cy
+    distortion_model: str  # "radtan" | "equidistant"
+    distortion_coeffs: Vec4
+    resolution: Tuple[int, int]  # (width, height)
+    T_cam_imu: Mat4  # row-major 4x4; transforms IMU-frame points to cam frame
+
+    def K(self) -> np.ndarray:
+        fx, fy, cx, cy = self.intrinsics
+        return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=np.float64)
+
+    def T_cam_imu_mat(self) -> np.ndarray:
+        return np.asarray(self.T_cam_imu, dtype=np.float64).reshape(4, 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoCalib:
+    """Full Kalibr camchain: two cameras + stereo + body extrinsics."""
+
+    cam0: CameraCalib
+    cam1: CameraCalib
+    T_cn_cnm1: Mat4  # cam0 -> cam1 transform (points): p_c1 = T * p_c0
+    T_imu_body: Mat4
+
+    def T_cam0_cam1_mat(self) -> np.ndarray:
+        """p_c1 = R p_c0 + t (reference CAMState::T_cam0_cam1)."""
+        return np.asarray(self.T_cn_cnm1, dtype=np.float64).reshape(4, 4)
+
+    # Derived extrinsics in the conventions used by the engine.
+    def R_imu_cam0(self) -> np.ndarray:
+        """Rotation IMU->cam0 of *vectors*: R_i_c = R(T_cam_imu)."""
+        return self.cam0.T_cam_imu_mat()[:3, :3]
+
+    def t_cam0_imu(self) -> np.ndarray:
+        """cam0 position in IMU frame: t = -R(T_cam_imu)^T t(T_cam_imu)."""
+        T = self.cam0.T_cam_imu_mat()
+        return -T[:3, :3].T @ T[:3, 3]
+
+
+# EuRoC defaults (camchain-imucam-euroc.yaml).
+_EUROC_CAM0 = CameraCalib(
+    intrinsics=(458.654, 457.296, 367.215, 248.375),
+    distortion_model="radtan",
+    distortion_coeffs=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
+    resolution=(752, 480),
+    T_cam_imu=(
+        0.014865542981794, 0.999557249008346, -0.025774436697440, 0.065222909535531,
+        -0.999880929698575, 0.014967213324719, 0.003756188357967, -0.020706385492719,
+        0.004140296794224, 0.025715529947966, 0.999660727177902, -0.008054602460030,
+        0.0, 0.0, 0.0, 1.0,
+    ),
+)
+_EUROC_CAM1 = CameraCalib(
+    intrinsics=(457.587, 456.134, 379.999, 255.238),
+    distortion_model="radtan",
+    distortion_coeffs=(-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05),
+    resolution=(752, 480),
+    T_cam_imu=(
+        0.012555267089103, 0.999598781151433, -0.025389800891747, -0.044901980682509,
+        -0.999755099723116, 0.013011905181504, 0.017900583825251, -0.020569771258915,
+        0.018223771455443, 0.025158836311552, 0.999517347077547, -0.008638135126028,
+        0.0, 0.0, 0.0, 1.0,
+    ),
+)
+_EUROC_T_CN = (
+    0.999997256477881, 0.002312067192424, 0.000376008102415, -0.110073808127187,
+    -0.002317135723281, 0.999898048506644, 0.014089835846648, 0.000399121547014,
+    -0.000343393120525, -0.014090668452714, 0.999900662637729, -0.000853702503357,
+    0.0, 0.0, 0.0, 1.0,
+)
+_IDENTITY4 = (
+    1.0, 0.0, 0.0, 0.0,
+    0.0, 1.0, 0.0, 0.0,
+    0.0, 0.0, 1.0, 0.0,
+    0.0, 0.0, 0.0, 1.0,
+)
+
+EUROC_CALIB = StereoCalib(cam0=_EUROC_CAM0, cam1=_EUROC_CAM1, T_cn_cnm1=_EUROC_T_CN, T_imu_body=_IDENTITY4)
+
+
+def _mat4_from_yaml(node) -> Mat4:
+    flat = np.asarray(node, dtype=np.float64).reshape(-1)
+    if flat.size != 16:
+        raise ValueError(f"expected 16-element matrix, got {flat.size}")
+    return tuple(float(v) for v in flat)
+
+
+def load_camchain(path: str) -> StereoCalib:
+    """Parse a Kalibr-style camchain YAML (reference config_io.h decoders)."""
+    with open(path) as f:
+        node = yaml.safe_load(f)
+
+    def cam(key: str) -> CameraCalib:
+        c = node[key]
+        return CameraCalib(
+            intrinsics=tuple(float(v) for v in c["intrinsics"]),
+            distortion_model=str(c["distortion_model"]),
+            distortion_coeffs=tuple(float(v) for v in c["distortion_coeffs"]),
+            resolution=tuple(int(v) for v in c["resolution"]),
+            T_cam_imu=_mat4_from_yaml(c["T_cam_imu"]),
+        )
+
+    return StereoCalib(
+        cam0=cam("cam0"),
+        cam1=cam("cam1"),
+        T_cn_cnm1=_mat4_from_yaml(node["cam1"]["T_cn_cnm1"]),
+        T_imu_body=_mat4_from_yaml(node.get("T_imu_body", list(_IDENTITY4))),
+    )
+
+
+def load_frontend_config(path: str) -> FrontendConfig:
+    with open(path) as f:
+        node = yaml.safe_load(f)
+    base = FrontendConfig()
+    return dataclasses.replace(
+        base,
+        grid_row=int(node.get("grid_row", base.grid_row)),
+        grid_col=int(node.get("grid_col", base.grid_col)),
+        grid_min_feature_num=int(node.get("grid_min_feature_num", base.grid_min_feature_num)),
+        grid_max_feature_num=int(node.get("grid_max_feature_num", base.grid_max_feature_num)),
+        patch_size=int(node.get("patch_size", base.patch_size)),
+        fast_threshold=int(node.get("fast_threshold", base.fast_threshold)),
+        max_iteration=int(node.get("max_iteration", base.max_iteration)),
+        track_precision=float(node.get("track_precision", base.track_precision)),
+        ransac_threshold=float(node.get("ransac_threshold", base.ransac_threshold)),
+        stereo_threshold=float(node.get("stereo_threshold", base.stereo_threshold)),
+    )
+
+
+def load_filter_config(path: str) -> FilterConfig:
+    with open(path) as f:
+        node = yaml.safe_load(f)
+    base = FilterConfig()
+    return dataclasses.replace(
+        base,
+        frame_rate=float(node.get("frame_rate", base.frame_rate)),
+        max_cam_state_size=int(node.get("max_cam_state_size", base.max_cam_state_size)),
+        position_std_threshold=float(node.get("position_std_threshold", base.position_std_threshold)),
+        rotation_threshold=float(node.get("rotation_threshold", base.rotation_threshold)),
+        translation_threshold=float(node.get("translation_threshold", base.translation_threshold)),
+        tracking_rate_threshold=float(node.get("tracking_rate_threshold", base.tracking_rate_threshold)),
+        feature_translation_threshold=float(
+            node.get("feature/config/translation_threshold", base.feature_translation_threshold)
+        ),
+        noise_gyro=float(node.get("noise/gyro", base.noise_gyro)),
+        noise_acc=float(node.get("noise/acc", base.noise_acc)),
+        noise_gyro_bias=float(node.get("noise/gyro_bias", base.noise_gyro_bias)),
+        noise_acc_bias=float(node.get("noise/acc_bias", base.noise_acc_bias)),
+        noise_feature=float(node.get("noise/feature", base.noise_feature)),
+        initial_velocity=tuple(float(v) for v in node.get("initial_state/velocity", base.initial_velocity)),
+        initial_cov_velocity=float(node.get("initial_covariance/velocity", base.initial_cov_velocity)),
+        initial_cov_gyro_bias=float(node.get("initial_covariance/gyro_bias", base.initial_cov_gyro_bias)),
+        initial_cov_acc_bias=float(node.get("initial_covariance/acc_bias", base.initial_cov_acc_bias)),
+        initial_cov_extrinsic_rotation=float(
+            node.get("initial_covariance/extrinsic_rotation_cov", base.initial_cov_extrinsic_rotation)
+        ),
+        initial_cov_extrinsic_translation=float(
+            node.get("initial_covariance/extrinsic_translation_cov", base.initial_cov_extrinsic_translation)
+        ),
+    )

@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+float64 enabled so filter numerics can be validated against NumPy oracles.
+Must set flags before jax initializes a backend."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+# Compile latency in this environment is high (~0.5-1s per primitive); use a
+# persistent compilation cache so repeat test runs skip recompilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
