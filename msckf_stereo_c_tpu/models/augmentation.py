@@ -63,9 +63,10 @@ def augment_state(state: FilterState, time) -> FilterState:
     band = JP.at[:, :].get()
     block = J @ state.P[:21, :21] @ J.T  # (6, 6)
 
+    zero = jnp.zeros_like(s)
     P = state.P
-    P = jax.lax.dynamic_update_slice(P, band[None].reshape(6, D), (s, 0))
-    P = jax.lax.dynamic_update_slice(P, band.T.reshape(D, 6), (0, s))
+    P = jax.lax.dynamic_update_slice(P, band.reshape(6, D), (s, zero))
+    P = jax.lax.dynamic_update_slice(P, band.T.reshape(D, 6), (zero, s))
     P = jax.lax.dynamic_update_slice(P, block, (s, s))
     P = 0.5 * (P + P.T)
     # Keep inactive region strictly zero (band writes touch only row/col s:s+6

@@ -1,0 +1,266 @@
+"""The stereo MSCKF filter: one jit-compiled step per stereo frame.
+
+TPU-native re-design of the reference's ``MsckfVio::featureCallback``
+pipeline (msckf_vio.cpp:306-375): batchImuProcessing -> stateAugmentation ->
+addFeatureObservations -> removeLostFeatures -> pruneCamStateBuffer ->
+publish -> onlineReset, with every phase operating on fixed-shape masked
+arrays so the entire step is a single XLA program (scannable over a whole
+sequence).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FilterConfig, StereoCalib
+from ..utils.chi2 import chi2_p95_table
+from ..utils.quaternion import jpl_to_rot, rot_to_jpl
+from .augmentation import add_feature_observations, augment_state
+from .propagation import ImuBatch, propagate
+from .pruning import compact_after_removal, find_redundant_cam_slots
+from .state import FilterState, continuous_noise_cov, init_filter_state, initial_cov_diag
+from .triangulation import check_motion_tracks, triangulate_tracks
+from .update import gating_scores, measurement_update, track_jacobians
+
+
+class FrameFeatures(NamedTuple):
+    """Per-frame output of the frontend (CameraMeasurement, data_msg.h:38-46)."""
+
+    time: jnp.ndarray  # ()
+    fid: jnp.ndarray  # (F,) int32
+    uv: jnp.ndarray  # (F, 4) normalized [u0, v0, u1, v1]
+    valid: jnp.ndarray  # (F,) bool
+
+
+class MsckfParams(NamedTuple):
+    """Device-resident calibration + tables (static per run)."""
+
+    R_c0_c1: jnp.ndarray  # (3,3): p_c1 = R p_c0 + t
+    t_c0_c1: jnp.ndarray  # (3,)
+    Q_imu: jnp.ndarray  # (12,12) continuous-time process noise
+    chi2_table: jnp.ndarray  # (100,) gating thresholds by dof
+    sigma2: jnp.ndarray  # () observation noise variance
+    init_cov_diag: jnp.ndarray  # (D,) for online reset
+    T_body_imu_R: jnp.ndarray  # (3,3) R(T_imu_body) for publish
+    rotation_threshold: jnp.ndarray
+    translation_threshold: jnp.ndarray
+    tracking_rate_threshold: jnp.ndarray
+    feature_translation_threshold: jnp.ndarray
+    position_std_threshold: jnp.ndarray
+
+
+class PoseOutput(NamedTuple):
+    """Per-frame published pose (TUM tuple) + diagnostics."""
+
+    time: jnp.ndarray
+    p: jnp.ndarray  # (3,) body position in world
+    q_xyzw: jnp.ndarray  # (4,) Hamilton body->world quaternion
+    num_cams: jnp.ndarray
+    num_tracks: jnp.ndarray
+    tracking_rate: jnp.ndarray
+
+
+def make_params(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> MsckfParams:
+    T01 = calib.T_cam0_cam1_mat()
+    Tib = np.asarray(calib.T_imu_body, dtype=np.float64).reshape(4, 4)
+    # Reference stores T_imu_body^-1's rotation for publish (msckf_vio.cpp:128).
+    R_bi = Tib[:3, :3].T
+    return MsckfParams(
+        R_c0_c1=jnp.asarray(T01[:3, :3], dtype),
+        t_c0_c1=jnp.asarray(T01[:3, 3], dtype),
+        Q_imu=continuous_noise_cov(cfg, dtype),
+        chi2_table=jnp.asarray(chi2_p95_table(99), dtype),
+        sigma2=jnp.asarray(cfg.observation_noise_var, dtype),
+        init_cov_diag=jnp.asarray(initial_cov_diag(cfg, cfg.state_dim), dtype),
+        T_body_imu_R=jnp.asarray(R_bi, dtype),
+        rotation_threshold=jnp.asarray(cfg.rotation_threshold, dtype),
+        translation_threshold=jnp.asarray(cfg.translation_threshold, dtype),
+        tracking_rate_threshold=jnp.asarray(cfg.tracking_rate_threshold, dtype),
+        feature_translation_threshold=jnp.asarray(cfg.feature_translation_threshold, dtype),
+        position_std_threshold=jnp.asarray(cfg.position_std_threshold, dtype),
+    )
+
+
+def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) -> FilterState:
+    """Triangulate + update with tracks that lost tracking this frame
+    (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
+    tracks = state.tracks
+    K, M = tracks.obs_valid.shape
+
+    active = tracks.fid >= 0
+    newest = state.num_cams - 1
+    observed_now = tracks.obs_valid[:, jnp.maximum(newest, 0)] & (state.num_cams > 0)
+    lost = active & ~observed_now
+    n_obs = jnp.sum(tracks.obs_valid, axis=1)
+
+    drop_only = lost & (n_obs < 3)
+    candidates = lost & (n_obs >= 3)
+
+    # Motion check + triangulation for not-yet-initialized candidates.
+    motion_ok = check_motion_tracks(
+        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        params.feature_translation_threshold,
+    )
+    tri = triangulate_tracks(
+        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        params.R_c0_c1, params.t_c0_c1,
+    )
+    init_ok = jnp.where(tracks.initialized, True, motion_ok & tri.valid)
+    pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
+
+    use = candidates & init_ok
+
+    jacs = track_jacobians(
+        pos, tracks.obs, tracks.obs_valid & use[:, None], state.cams,
+        state.gravity, params.R_c0_c1, params.t_c0_c1,
+    )
+    gamma = gating_scores(jacs, state.P, params.sigma2)
+    dof = jnp.clip(n_obs - 1, 1, 99)
+    use = use & (gamma < params.chi2_table[dof])
+
+    state = measurement_update(state, jacs, use, params.sigma2, method=method)
+
+    # All processed or too-short tracks leave the map.
+    gone = drop_only | candidates
+    tracks = state.tracks._replace(
+        fid=jnp.where(gone, -1, state.tracks.fid),
+        obs_valid=state.tracks.obs_valid & ~gone[:, None],
+        initialized=jnp.where(gone, False, state.tracks.initialized),
+    )
+    return state._replace(tracks=tracks)
+
+
+def _prune_cam_states(state: FilterState, params: MsckfParams, method: str) -> FilterState:
+    """Marginalize two redundant camera states
+    (reference pruneCamStateBuffer, msckf_vio.cpp:1073-1184)."""
+    tracks = state.tracks
+    K, M = tracks.obs_valid.shape
+
+    slot_a, slot_b = find_redundant_cam_slots(
+        state, params.rotation_threshold, params.translation_threshold,
+        params.tracking_rate_threshold,
+    )
+    involved = tracks.obs_valid[:, slot_a].astype(jnp.int32) + tracks.obs_valid[:, slot_b].astype(jnp.int32)
+    involved_mask = (jnp.arange(M)[None, :] == slot_a) | (jnp.arange(M)[None, :] == slot_b)
+    involved_mask = involved_mask & tracks.obs_valid
+
+    active = tracks.fid >= 0
+    update_cand = active & (involved >= 2)
+
+    motion_ok = check_motion_tracks(
+        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        params.feature_translation_threshold,
+    )
+    tri = triangulate_tracks(
+        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        params.R_c0_c1, params.t_c0_c1,
+    )
+    init_ok = jnp.where(tracks.initialized, True, motion_ok & tri.valid)
+    pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
+    newly_init = update_cand & ~tracks.initialized & motion_ok & tri.valid
+
+    use = update_cand & init_ok
+
+    jacs = track_jacobians(
+        pos, tracks.obs, involved_mask & use[:, None], state.cams,
+        state.gravity, params.R_c0_c1, params.t_c0_c1,
+    )
+    gamma = gating_scores(jacs, state.P, params.sigma2)
+    dof = jnp.clip(involved, 1, 99)
+    use = use & (gamma < params.chi2_table[dof])
+
+    state = measurement_update(state, jacs, use, params.sigma2, method=method)
+
+    # Persist positions of tracks initialized during this phase (the
+    # reference keeps Feature::position for later updates).
+    tracks = state.tracks._replace(
+        pos=jnp.where(newly_init[:, None], pos, state.tracks.pos),
+        initialized=state.tracks.initialized | newly_init,
+    )
+    # Delete the involved observations from every track.
+    tracks = tracks._replace(obs_valid=tracks.obs_valid & ~involved_mask)
+    state = state._replace(tracks=tracks)
+
+    return compact_after_removal(state, slot_a, slot_b)
+
+
+def _online_reset(state: FilterState, params: MsckfParams) -> FilterState:
+    """Uncertainty watchdog (reference onlineReset, msckf_vio.cpp:1186-1236)."""
+    stds_ok = (
+        (jnp.sqrt(state.P[12, 12]) < params.position_std_threshold)
+        & (jnp.sqrt(state.P[13, 13]) < params.position_std_threshold)
+        & (jnp.sqrt(state.P[14, 14]) < params.position_std_threshold)
+    )
+    enabled = params.position_std_threshold > 0
+
+    def reset(s: FilterState) -> FilterState:
+        tracks = s.tracks._replace(
+            fid=jnp.full_like(s.tracks.fid, -1),
+            obs_valid=jnp.zeros_like(s.tracks.obs_valid),
+            initialized=jnp.zeros_like(s.tracks.initialized),
+        )
+        return s._replace(
+            num_cams=jnp.zeros_like(s.num_cams),
+            P=jnp.diag(params.init_cov_diag),
+            tracks=tracks,
+            online_reset_count=s.online_reset_count + 1,
+        )
+
+    return jax.lax.cond(enabled & ~stds_ok, reset, lambda s: s, state)
+
+
+def _publish(state: FilterState, time, params: MsckfParams) -> PoseOutput:
+    """Pose export (reference publish, msckf_vio.cpp:1238-1261): body pose
+    T_b_w = T_imu_body * T_i_w * T_imu_body^-1; Hamilton quaternion of the
+    JPL world->IMU state equals the body->world Hamilton quaternion."""
+    R_bi = params.T_body_imu_R  # R(T_imu_body^-1) = R(T_imu_body)^T is stored
+    R_i_w = jpl_to_rot(state.imu.q).T
+    R_b_w = R_bi @ R_i_w @ R_bi.T
+    p_b = R_bi @ state.imu.p
+    q_ham = rot_to_jpl(R_b_w.T)  # JPL of world->body == Hamilton of body->world
+    return PoseOutput(
+        time=time,
+        p=p_b,
+        q_xyzw=q_ham,
+        num_cams=state.num_cams,
+        num_tracks=jnp.sum(state.tracks.fid >= 0),
+        tracking_rate=state.tracking_rate,
+    )
+
+
+def filter_step(
+    state: FilterState,
+    frame: FrameFeatures,
+    imu: ImuBatch,
+    params: MsckfParams,
+    cfg: FilterConfig,
+    method: str = "qr",
+):
+    """One full frame of the back-end.  jit/scan-able."""
+    # First frame: the filter time origin is the first image timestamp
+    # (featureCallback, msckf_vio.cpp:314-317).
+    first = state.next_sid == 0
+    state = state._replace(
+        imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
+    )
+
+    state = propagate(state, imu, params.Q_imu)
+    state = augment_state(state, frame.time)
+    state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+    state = _remove_lost_features(state, params, method)
+    state = jax.lax.cond(
+        state.num_cams >= cfg.max_cam_state_size,
+        lambda s: _prune_cam_states(s, params, method),
+        lambda s: s,
+        state,
+    )
+    out = _publish(state, frame.time, params)
+    state = _online_reset(state, params)
+    return state, out
+
+
+def init_state(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> FilterState:
+    return init_filter_state(cfg, calib, dtype)

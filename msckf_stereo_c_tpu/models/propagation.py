@@ -61,7 +61,7 @@ def _predict_new_state(imu: ImuState, dt, gyro, acc, gravity):
     Omega = Omega.at[:3, 3].set(gyro)
     Omega = Omega.at[3, :3].set(-gyro)
 
-    eye4 = jnp.eye(4, dtype)
+    eye4 = jnp.eye(4, dtype=dtype)
     big = gyro_norm > 1e-5
     safe_norm = jnp.where(big, gyro_norm, 1.0)
 

@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.linalg import solve3x3
 from ..utils.quaternion import jpl_to_rot
 
 _LM_ITERS = 30
@@ -139,7 +140,7 @@ def triangulate_track(
         x, lam, cost = carry
         A, b = _normal_equations(R, t, w_valid, x, z)
         A_d = A + lam * jnp.eye(3, dtype=dtype)
-        delta = jnp.linalg.solve(A_d, b)
+        delta = solve3x3(A_d, b)
         x_new = x - delta
         cost_new = _cost(R, t, w_valid, x_new, z)
         accept = cost_new < cost

@@ -3,13 +3,16 @@ float64 enabled so filter numerics can be validated against NumPy oracles.
 Must set flags before jax initializes a backend."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the environment presets "axon" (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# The env presets JAX_PLATFORMS=axon (TPU tunnel) and the plugin ignores a
+# later env override; the config knob is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Compile latency in this environment is high (~0.5-1s per primitive); use a
 # persistent compilation cache so repeat test runs skip recompilation.
