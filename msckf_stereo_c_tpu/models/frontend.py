@@ -1,0 +1,328 @@
+"""Stereo feature-tracking front-end (the reference's ``ImageProcessor``,
+image_processor.cpp:139-1211) as a single fixed-shape jittable step.
+
+Design: a pool of ``N = max_features`` track slots replaces the
+``GridFeatures`` map-of-vectors; per-grid top-k selection and lifetime
+pruning are rank computations over the pool (argsort by composite keys), and
+feature detection is the dense grid FAST of ``ops.fast``.  Pyramids are
+carried as tuples of per-level arrays so a whole sequence can be scanned.
+
+Pipeline per frame (mirroring stereoCallback):
+  pyramids -> [first frame? detect : predict + KLT track + stereo match]
+  -> grid bucket -> add new features (masked FAST + stereo match + fill)
+  -> prune overfull grids -> publish normalized stereo measurements.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrontendConfig, StereoCalib
+from ..ops.camera import distort_points, undistort_points
+from ..ops.fast import detect_grid_corners, occupancy_from_points
+from ..ops.klt import optical_flow_pyr_lk
+from ..ops.pyramid import build_pyramid
+from ..utils.lie import skew, so3_exp
+
+
+class TrackerState(NamedTuple):
+    """Fixed-pool replacement for GridFeatures (image_processor.h:100-113)."""
+
+    pts0: jnp.ndarray  # (N, 2) cam0 pixel positions
+    pts1: jnp.ndarray  # (N, 2) cam1 pixel positions
+    fid: jnp.ndarray  # (N,) int32, -1 = free
+    lifetime: jnp.ndarray  # (N,) int32
+    response: jnp.ndarray  # (N,)
+    next_fid: jnp.ndarray  # () int32
+
+
+class FrontendParams(NamedTuple):
+    """Device-side calibration for the front-end."""
+
+    K0: jnp.ndarray  # (4,) fx fy cx cy cam0
+    D0: jnp.ndarray  # (4,)
+    K1: jnp.ndarray  # (4,)
+    D1: jnp.ndarray  # (4,)
+    R_c0_c1: jnp.ndarray  # (3,3) rotation of T_cn_cnm1
+    t_c0_c1: jnp.ndarray  # (3,)
+    R_imu_cam0: jnp.ndarray  # (3,3) R(T_cam_imu) cam0
+    R_imu_cam1: jnp.ndarray  # (3,3) R(T_cam_imu) cam1
+    E: jnp.ndarray  # (3,3) essential matrix [t]x R
+    norm_pixel_unit: jnp.ndarray  # () 4/(fx0+fy0+fx1+fy1)
+
+
+class FrameOutput(NamedTuple):
+    fid: jnp.ndarray  # (N,) int32
+    uv: jnp.ndarray  # (N, 4) normalized stereo observations
+    valid: jnp.ndarray  # (N,)
+    # TrackingInfo counters (data_msg.h:48-55).
+    before_tracking: jnp.ndarray
+    after_tracking: jnp.ndarray
+    after_matching: jnp.ndarray
+    after_ransac: jnp.ndarray
+
+
+def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParams:
+    T01 = calib.T_cam0_cam1_mat()
+    R01 = T01[:3, :3]
+    t01 = T01[:3, 3]
+    E = np.asarray(skew(jnp.asarray(t01))) @ R01
+    fx0, fy0 = calib.cam0.intrinsics[:2]
+    fx1, fy1 = calib.cam1.intrinsics[:2]
+    T_c1_imu = T01 @ calib.cam1.T_cam_imu_mat() @ np.linalg.inv(calib.cam1.T_cam_imu_mat())
+    # R(T_cam_imu) for cam1 = R(T_cn_cnm1 @ T_cam0_imu):
+    R_i_c1 = (T01 @ calib.cam0.T_cam_imu_mat())[:3, :3]
+    return FrontendParams(
+        K0=jnp.asarray(calib.cam0.intrinsics, dtype),
+        D0=jnp.asarray(calib.cam0.distortion_coeffs, dtype),
+        K1=jnp.asarray(calib.cam1.intrinsics, dtype),
+        D1=jnp.asarray(calib.cam1.distortion_coeffs, dtype),
+        R_c0_c1=jnp.asarray(R01, dtype),
+        t_c0_c1=jnp.asarray(t01, dtype),
+        R_imu_cam0=jnp.asarray(calib.cam0.T_cam_imu_mat()[:3, :3], dtype),
+        R_imu_cam1=jnp.asarray(R_i_c1, dtype),
+        E=jnp.asarray(E, dtype),
+        norm_pixel_unit=jnp.asarray(4.0 / (fx0 + fy0 + fx1 + fy1), dtype),
+    )
+
+
+def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
+    N = cfg.max_features
+    return TrackerState(
+        pts0=jnp.zeros((N, 2), dtype),
+        pts1=jnp.zeros((N, 2), dtype),
+        fid=-jnp.ones((N,), jnp.int32),
+        lifetime=jnp.zeros((N,), jnp.int32),
+        response=jnp.zeros((N,), dtype),
+        next_fid=jnp.zeros((), jnp.int32),
+    )
+
+
+def _grid_code(pts, img_shape, cfg: FrontendConfig):
+    H, W = img_shape
+    gh = H // cfg.grid_row
+    gw = W // cfg.grid_col
+    row = jnp.clip((pts[:, 1] // gh).astype(jnp.int32), 0, cfg.grid_row - 1)
+    col = jnp.clip((pts[:, 0] // gw).astype(jnp.int32), 0, cfg.grid_col - 1)
+    return row * cfg.grid_col + col
+
+
+def _rank_within_group(group: jnp.ndarray, order_key: jnp.ndarray, valid: jnp.ndarray, num_groups: int):
+    """Rank of each element within its group when sorted by ``order_key``
+    ascending; invalid elements get a huge rank.  Pure sort/cumsum — no
+    dynamic shapes."""
+    n = group.shape[0]
+    g = jnp.where(valid, group, num_groups)
+    composite = g.astype(jnp.float64) * 1e12 + order_key.astype(jnp.float64)
+    sorted_idx = jnp.argsort(composite)
+    sorted_g = g[sorted_idx]
+    pos = jnp.arange(n)
+    first_pos = jnp.searchsorted(sorted_g, jnp.arange(num_groups + 1))
+    rank_sorted = pos - first_pos[sorted_g]
+    rank = jnp.zeros(n, jnp.int32).at[sorted_idx].set(rank_sorted.astype(jnp.int32))
+    return jnp.where(valid, rank, n)
+
+
+def _stereo_match(
+    pyr0: Sequence[jnp.ndarray],
+    pyr1: Sequence[jnp.ndarray],
+    pts0: jnp.ndarray,
+    valid: jnp.ndarray,
+    params: FrontendParams,
+    cfg: FrontendConfig,
+    img_shape: Tuple[int, int],
+):
+    """KLT cam0->cam1 with extrinsic-rotation initial guess + epipolar gate
+    (reference stereoMatch, image_processor.cpp:534-620)."""
+    H, W = img_shape
+    # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
+    xn = undistort_points(pts0, params.K0, params.D0, R=params.R_c0_c1)
+    guess = distort_points(xn, params.K1, params.D1)
+    res = optical_flow_pyr_lk(
+        pyr0, pyr1, pts0, guess, valid,
+        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+    )
+    pts1 = res.pts
+    ok = res.valid & valid
+    ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
+
+    # Epipolar consistency with the known essential matrix.
+    un0 = undistort_points(pts0, params.K0, params.D0)
+    un1 = undistort_points(pts1, params.K1, params.D1)
+    p0h = jnp.concatenate([un0, jnp.ones_like(un0[:, :1])], axis=1)
+    p1h = jnp.concatenate([un1, jnp.ones_like(un1[:, :1])], axis=1)
+    line = p0h @ params.E.T  # (N,3) epipolar lines in cam1
+    dist = jnp.abs(jnp.sum(p1h * line, axis=1)) / jnp.sqrt(
+        line[:, 0] ** 2 + line[:, 1] ** 2 + 1e-12
+    )
+    ok = ok & (dist <= cfg.stereo_threshold * params.norm_pixel_unit)
+    return pts1, ok
+
+
+def _add_new_features(
+    state: TrackerState,
+    pyr0: Sequence[jnp.ndarray],
+    pyr1: Sequence[jnp.ndarray],
+    params: FrontendParams,
+    cfg: FrontendConfig,
+    img_shape: Tuple[int, int],
+    fill_to: int,
+):
+    """Detect FAST corners away from existing tracks, stereo-match them and
+    fill under-populated grids (reference addNewFeatures /
+    initializeFirstFrame).  ``fill_to``: per-grid target population
+    (grid_min_feature_num in both reference paths)."""
+    H, W = img_shape
+    N = cfg.max_features
+    occupied = occupancy_from_points(state.pts0, state.fid >= 0, img_shape, cfg.detector_cell)
+    corners = detect_grid_corners(pyr0[0], float(cfg.fast_threshold), cfg.detector_cell, occupied)
+
+    # Per feature-grid, keep the top grid_max_feature_num candidates by
+    # response (the "sieve", image_processor.cpp:661-677).
+    cand_grid = _grid_code(corners.xy, img_shape, cfg)
+    rank = _rank_within_group(cand_grid, -corners.score, corners.valid, cfg.num_grids)
+    C = cfg.num_grids * cfg.grid_max_feature_num
+    slot = jnp.where(rank < cfg.grid_max_feature_num, cand_grid * cfg.grid_max_feature_num + rank, C)
+    cand_xy = jnp.zeros((C, 2), corners.xy.dtype).at[slot].set(corners.xy, mode="drop")
+    cand_score = jnp.zeros((C,), corners.score.dtype).at[slot].set(corners.score, mode="drop")
+    cand_valid = jnp.zeros((C,), bool).at[slot].set(corners.valid, mode="drop")
+
+    # Stereo match the candidates.
+    cand_pts1, cand_ok = _stereo_match(pyr0, pyr1, cand_xy, cand_valid, params, cfg, img_shape)
+
+    # Fill grids that are below the target population.
+    pool_grid = _grid_code(state.pts0, img_shape, cfg)
+    pool_count = jnp.zeros((cfg.num_grids,), jnp.int32).at[
+        jnp.where(state.fid >= 0, pool_grid, cfg.num_grids)
+    ].add(1, mode="drop")
+    vacancy = jnp.maximum(fill_to - pool_count, 0)  # (G,)
+
+    cgrid = _grid_code(cand_xy, img_shape, cfg)
+    crank = _rank_within_group(cgrid, -cand_score, cand_ok, cfg.num_grids)
+    accept = cand_ok & (crank < vacancy[cgrid])
+
+    # Allocate accepted candidates into free pool slots.
+    free = state.fid < 0
+    free_rank = jnp.cumsum(free) - 1
+    slot_of_rank = jnp.full((N,), N, jnp.int32).at[
+        jnp.where(free, free_rank, N)
+    ].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    n_free = jnp.sum(free)
+    acc_rank = jnp.cumsum(accept) - 1
+    target = jnp.where(
+        accept & (acc_rank < n_free), slot_of_rank[jnp.clip(acc_rank, 0, N - 1)], N
+    )
+
+    new_fid = state.next_fid + acc_rank.astype(jnp.int32)
+    pts0 = state.pts0.at[target].set(cand_xy, mode="drop")
+    pts1 = state.pts1.at[target].set(cand_pts1, mode="drop")
+    fid = state.fid.at[target].set(new_fid, mode="drop")
+    lifetime = state.lifetime.at[target].set(1, mode="drop")
+    response = state.response.at[target].set(cand_score.astype(state.response.dtype), mode="drop")
+    n_added = jnp.sum(accept & (acc_rank < n_free)).astype(jnp.int32)
+
+    return state._replace(
+        pts0=pts0, pts1=pts1, fid=fid, lifetime=lifetime, response=response,
+        next_fid=state.next_fid + n_added,
+    )
+
+
+def _prune_grid_features(state: TrackerState, cfg: FrontendConfig, img_shape):
+    """Cap each grid at grid_max_feature_num, keeping the longest-lived
+    (reference pruneGridFeatures, image_processor.cpp:758-768)."""
+    grid = _grid_code(state.pts0, img_shape, cfg)
+    rank = _rank_within_group(grid, -state.lifetime, state.fid >= 0, cfg.num_grids)
+    keep = rank < cfg.grid_max_feature_num
+    return state._replace(fid=jnp.where(keep, state.fid, -1))
+
+
+def _publish(state: TrackerState, params: FrontendParams, dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Undistort to normalized coordinates and emit the measurement set
+    (reference publish, image_processor.cpp:1137-1182)."""
+    un0 = undistort_points(state.pts0, params.K0, params.D0)
+    un1 = undistort_points(state.pts1, params.K1, params.D1)
+    uv = jnp.concatenate([un0, un1], axis=1).astype(dtype)
+    return state.fid, uv, state.fid >= 0
+
+
+def frontend_step(
+    state: TrackerState,
+    pyr0_prev: Sequence[jnp.ndarray],
+    pyr0_curr: Sequence[jnp.ndarray],
+    pyr1_curr: Sequence[jnp.ndarray],
+    mean_gyro: jnp.ndarray,  # (3,) mean IMU angular velocity over the frame
+    dt: jnp.ndarray,  # () time since previous frame
+    is_first: jnp.ndarray,  # () bool
+    params: FrontendParams,
+    cfg: FrontendConfig,
+):
+    """One stereo frame through the tracker.  Returns (state, FrameOutput)."""
+    img_shape = pyr0_curr[0].shape
+    H, W = img_shape
+    before_tracking = jnp.sum(state.fid >= 0)
+
+    # --- Track existing features cam0 prev -> curr (trackFeatures). ---
+    # IMU-predicted homography warp K R_p_c K^-1 (predictFeatureTracking).
+    w_cam = params.R_imu_cam0 @ mean_gyro
+    R_p_c = so3_exp(w_cam * dt).T
+    fx, fy, cx, cy = params.K0[0], params.K0[1], params.K0[2], params.K0[3]
+    Km = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], state.pts0.dtype)
+    Kinv = jnp.array(
+        [[1 / fx, 0, -cx / fx], [0, 1 / fy, -cy / fy], [0, 0, 1]], state.pts0.dtype
+    )
+    Hm = Km @ R_p_c @ Kinv
+    ph = jnp.concatenate([state.pts0, jnp.ones_like(state.pts0[:, :1])], axis=1)
+    warped = ph @ Hm.T
+    guess = warped[:, :2] / warped[:, 2:3]
+
+    active = state.fid >= 0
+    res = optical_flow_pyr_lk(
+        pyr0_prev, pyr0_curr, state.pts0, guess, active,
+        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+    )
+    tracked_pts0 = res.pts
+    tracked = active & res.valid
+    tracked = tracked & (tracked_pts0[:, 0] >= 0) & (tracked_pts0[:, 0] <= W - 1)
+    tracked = tracked & (tracked_pts0[:, 1] >= 0) & (tracked_pts0[:, 1] <= H - 1)
+    after_tracking = jnp.sum(tracked)
+
+    # --- Stereo match on the current pair. ---
+    pts1, matched = _stereo_match(
+        pyr0_curr, pyr1_curr, tracked_pts0, tracked, params, cfg, img_shape
+    )
+    after_matching = jnp.sum(matched)
+
+    surv = jnp.where(is_first, jnp.zeros_like(matched), matched)
+    state = state._replace(
+        pts0=jnp.where(surv[:, None], tracked_pts0, state.pts0),
+        pts1=jnp.where(surv[:, None], pts1, state.pts1),
+        fid=jnp.where(surv, state.fid, -1),
+        lifetime=jnp.where(surv, state.lifetime + 1, 0),
+    )
+
+    # --- Detect + add new features; prune overfull grids. ---
+    state = _add_new_features(
+        state, pyr0_curr, pyr1_curr, params, cfg, img_shape, cfg.grid_min_feature_num
+    )
+    state = _prune_grid_features(state, cfg, img_shape)
+
+    fid, uv, valid = _publish(state, params, uv_dtype(state))
+    out = FrameOutput(
+        fid=fid, uv=uv, valid=valid,
+        before_tracking=before_tracking,
+        after_tracking=after_tracking,
+        after_matching=after_matching,
+        after_ransac=jnp.sum(valid),
+    )
+    return state, out
+
+
+def uv_dtype(state: TrackerState):
+    return state.pts0.dtype
+
+
+def pyramids_for(img: jnp.ndarray, cfg: FrontendConfig):
+    return tuple(build_pyramid(img, cfg.pyramid_levels))

@@ -1,0 +1,103 @@
+"""Filter-consistency tests on synthetic trajectories (the reference has no
+tests; its gate is the EuRoC ATE run — SURVEY.md §4.  Here the same gate runs
+on simulated data with known ground truth)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig
+from msckf_stereo_c_tpu.io import evaluate_ate
+from msckf_stereo_c_tpu.models import run_sequence
+from msckf_stereo_c_tpu.sim import (
+    make_circle_trajectory,
+    make_landmarks,
+    project_tracks,
+    synthesize_imu,
+)
+
+CFG = FilterConfig(max_cam_state_size=8, max_tracks=48, max_imu_per_frame=12)
+
+
+def _make_world(duration=8.0, pixel_noise=0.2, gyro_noise=5e-4, acc_noise=5e-3, seed=0):
+    traj = make_circle_trajectory(duration=duration)
+    landmarks = make_landmarks(num=300)
+    imu = synthesize_imu(traj, gyro_noise=gyro_noise, acc_noise=acc_noise, seed=seed)
+    feats = project_tracks(traj, landmarks, max_features=32, pixel_noise=pixel_noise)
+    return traj, imu, feats
+
+
+@pytest.fixture(scope="module")
+def world():
+    return _make_world()
+
+
+def _run(world, method="qr", **kw):
+    traj, imu, feats = world
+    return run_sequence(
+        CFG, EUROC_CALIB, feats.t, feats.fid, feats.uv, feats.valid,
+        imu.t, imu.gyro, imu.acc, method=method, **kw,
+    )
+
+
+def test_synthetic_ate_gate(world):
+    """End-to-end gate: the filter must track a noisy synthetic trajectory to
+    centimeter-level ATE (the EuRoC bar is 0.13 m over 144 s; this 8 s run
+    must be well under that)."""
+    traj, imu, feats = world
+    res = _run(world)
+    ate = evaluate_ate(res.times, res.positions, feats.t, traj.p[feats.frame_index])
+    assert ate.num_pairs == len(feats.t)
+    assert ate.rmse < 0.05, f"ATE RMSE too high: {ate.rmse}"
+
+
+def test_qr_cholesky_equivalent(world):
+    """The two measurement-compression paths are algebraically identical; the
+    trajectories they produce must agree to fine tolerance."""
+    res_qr = _run(world, method="qr")
+    res_ch = _run(world, method="cholesky")
+    diff = np.linalg.norm(res_qr.positions - res_ch.positions, axis=1)
+    assert diff.max() < 1e-4, f"qr vs cholesky diverged: {diff.max()}"
+
+
+def test_covariance_symmetric_psd(world):
+    res = _run(world)
+    P = np.asarray(res.final_state.P)
+    np.testing.assert_allclose(P, P.T, atol=1e-10)
+    n_act = 21 + 6 * int(res.final_state.num_cams)
+    eigs = np.linalg.eigvalsh(P[:n_act, :n_act])
+    assert eigs.min() > -1e-9, f"covariance not PSD: min eig {eigs.min()}"
+    # Inactive block must stay exactly zero.
+    assert np.all(P[n_act:, :] == 0) and np.all(P[:, n_act:] == 0)
+
+
+def test_velocity_estimate(world):
+    traj, imu, feats = world
+    res = _run(world)
+    # Speed is frame-invariant: compare norms.
+    v_est = float(jnp.linalg.norm(res.final_state.imu.v))
+    v_true = float(np.linalg.norm(traj.v[feats.frame_index[-1]]))
+    assert abs(v_est - v_true) < 0.1, (v_est, v_true)
+
+
+def test_gyro_bias_estimate():
+    """With a deliberate gyro bias the filter must estimate it."""
+    traj = make_circle_trajectory(duration=8.0)
+    landmarks = make_landmarks(num=300)
+    bias = np.array([0.02, -0.01, 0.015])
+    imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, gyro_bias=bias, seed=3)
+    feats = project_tracks(traj, landmarks, max_features=32, pixel_noise=0.2)
+    res = run_sequence(
+        CFG, EUROC_CALIB, feats.t, feats.fid, feats.uv, feats.valid,
+        imu.t, imu.gyro, imu.acc,
+    )
+    bg = np.asarray(res.final_state.imu.bg)
+    # The static init window absorbs the constant bias into b_g directly.
+    np.testing.assert_allclose(bg, bias, atol=5e-3)
+
+
+def test_chunked_run_matches_single(world):
+    traj, imu, feats = world
+    res_full = _run(world)
+    res_chunk = _run(world, chunk=37)
+    np.testing.assert_allclose(res_full.positions, res_chunk.positions, atol=1e-12)
