@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""EuRoC VIO driver — the TPU-native equivalent of the reference's
+``run_euroc_single_thread`` app (apps/run_euroc_single_thread.cpp:116-324).
+
+Usage:
+    python apps/run_euroc.py <path-to>/mav0 [--out pose_out.txt]
+        [--chunk 128] [--platform tpu|cpu] [--method qr|cholesky]
+        [--camchain config/camchain-imucam-euroc.yaml] [--ate]
+
+Streams the dataset in chunks: each chunk of stereo frames + per-frame IMU
+batches is one device program (frontend KLT + MSCKF update fused); poses are
+written in TUM format and optionally scored against the bundled ground
+truth with the in-repo ATE evaluator.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mav0", help="path to the EuRoC sequence's mav0 directory")
+    ap.add_argument("--out", default="pose_out.txt")
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--method", default="qr", choices=["qr", "cholesky"])
+    ap.add_argument("--camchain", default=None)
+    ap.add_argument("--imgproc-config", default=None)
+    ap.add_argument("--msckf-config", default=None)
+    ap.add_argument("--f64", action="store_true", help="run the filter in float64")
+    ap.add_argument("--ate", action="store_true", help="evaluate ATE against ground truth")
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from msckf_stereo_c_tpu.config import (
+        EUROC_CALIB,
+        FilterConfig,
+        FrontendConfig,
+        load_camchain,
+        load_filter_config,
+        load_frontend_config,
+    )
+    from msckf_stereo_c_tpu.io import evaluate_ate, write_tum
+    from msckf_stereo_c_tpu.io.euroc import load_images, load_sequence, synchronize_stereo
+    from msckf_stereo_c_tpu.models.vio import run_vio_sequence
+
+    calib = load_camchain(args.camchain) if args.camchain else EUROC_CALIB
+    fcfg = load_frontend_config(args.imgproc_config) if args.imgproc_config else FrontendConfig()
+    mcfg = load_filter_config(args.msckf_config) if args.msckf_config else FilterConfig()
+
+    print(f"loading sequence {args.mav0} ...")
+    seq = load_sequence(args.mav0)
+    times, files0, files1 = synchronize_stereo(seq)
+    if args.max_frames:
+        times, files0, files1 = times[: args.max_frames], files0[: args.max_frames], files1[: args.max_frames]
+    print(f"{len(times)} stereo frames, {len(seq.imu.t)} IMU samples")
+
+    filter_dtype = jnp.float64 if args.f64 else jnp.float32
+
+    # Stream decode + run in chunks to bound host memory.
+    t_start = time.time()
+    state = None
+    all_res = []
+    from msckf_stereo_c_tpu.models.vio import VioResult  # noqa: F401
+
+    # Decode everything up front if small, else chunked decode.
+    c = args.chunk
+    res = None
+    for s0 in range(0, len(times), c):
+        s1 = min(s0 + c, len(times))
+        imgs0 = load_images(files0[s0:s1])
+        imgs1 = load_images(files1[s0:s1])
+        r = run_vio_sequence(
+            fcfg, mcfg, calib,
+            times[s0:s1], imgs0, imgs1,
+            seq.imu.t, seq.imu.gyro, seq.imu.acc,
+            filter_dtype=filter_dtype,
+            method=args.method,
+            state=state,
+        )
+        state = r.final_state
+        all_res.append(r)
+        el = time.time() - t_start
+        print(f"  frames {s1}/{len(times)}  ({s1/el:.1f} fps cumulative)")
+
+    import numpy as np
+
+    times_out = np.concatenate([r.times for r in all_res])
+    pos = np.concatenate([r.positions for r in all_res])
+    quat = np.concatenate([r.quats_xyzw for r in all_res])
+    write_tum(args.out, times_out, pos, quat)
+    wall = time.time() - t_start
+    print(f"wrote {args.out}; {len(times)} frames in {wall:.1f}s = {len(times)/wall:.1f} fps")
+
+    if args.ate and seq.gt is not None:
+        ate = evaluate_ate(times_out, pos, seq.gt.t, seq.gt.p)
+        print(
+            f"ATE RMSE {ate.rmse:.6f} m  mean {ate.mean:.4f}  median {ate.median:.4f} "
+            f"std {ate.std:.4f}  min {ate.min:.4f}  max {ate.max:.4f}  pairs {ate.num_pairs}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-pipeline VIO throughput (frames/s/chip).
+
+Runs the complete stereo pipeline — pyramid build, FAST detection, pyramidal
+KLT tracking + stereo matching, and the MSCKF measurement update — on
+synthetic EuRoC-resolution (752x480) stereo frames, on whatever device JAX
+provides (the real TPU under the driver; CPU as fallback).
+
+Prints ONE JSON line:
+  {"metric": "vio_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 40.0}
+Baseline: the reference C++ front-end alone takes ~25 ms/frame (=40 fps) on
+the author's CPU (BASELINE.md; apps/run_euroc_muitl_threads.cpp:82).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig, FrontendConfig
+    from msckf_stereo_c_tpu.models.vio import _vio_chunk, init_vio_state
+    from msckf_stereo_c_tpu.models.frontend import make_frontend_params
+    from msckf_stereo_c_tpu.models.msckf import make_params
+    from msckf_stereo_c_tpu.models.runner import apply_gravity_init, pack_imu_batches
+    from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_landmarks, synthesize_imu
+    from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
+
+    fcfg = FrontendConfig()
+    mcfg = FilterConfig()
+    dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    traj = make_circle_trajectory(duration=max(4.0, n_frames * 0.05 + 2.0))
+    landmarks = make_landmarks(num=600, seed=1)
+    imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
+    frame_idx = np.arange(0, traj.t.shape[0], 10)[:n_frames]
+    img0, img1 = render_stereo_sequence(traj, landmarks, frame_idx)
+    frame_t = traj.t[frame_idx]
+
+    fparams = make_frontend_params(EUROC_CALIB, jnp.float32)
+    mparams = make_params(mcfg, EUROC_CALIB, dtype)
+    state0 = init_vio_state(fcfg, mcfg, EUROC_CALIB, img0.shape[1:], jnp.float32, dtype)
+    state0 = state0._replace(
+        filt=apply_gravity_init(state0.filt, imu.gyro[:200], imu.acc[:200])
+    )
+    batches = pack_imu_batches(imu.t, imu.gyro, imu.acc, frame_t, mcfg.max_imu_per_frame, np.float32)
+
+    d_img0 = jnp.asarray(img0, jnp.float32)
+    d_img1 = jnp.asarray(img1, jnp.float32)
+    d_t = jnp.asarray(frame_t, dtype)
+
+    method = os.environ.get("BENCH_METHOD", "cholesky")
+
+    def run(state):
+        return _vio_chunk(
+            state, d_img0, d_img1, d_t, batches, fparams, mparams, fcfg, mcfg, method
+        )
+
+    # Warmup/compile.
+    t0 = time.time()
+    state, (pose, _) = run(state0)
+    jax.block_until_ready(pose.p)
+    compile_time = time.time() - t0
+
+    # Timed runs (state carries across repeats; same frames).
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(reps):
+        state, (pose, _) = run(state0)
+    jax.block_until_ready(pose.p)
+    dt = (time.time() - t0) / reps
+
+    fps = n_frames / dt
+    result = {
+        "metric": "vio_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 40.0, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# device={jax.devices()[0].device_kind} frames={n_frames} "
+        f"reps={reps} compile={compile_time:.1f}s run={dt:.3f}s method={method}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

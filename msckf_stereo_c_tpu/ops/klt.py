@@ -71,6 +71,7 @@ def _track_level(
     win: int,
     iters: int,
     eps: float,
+    final_level: bool,
 ):
     """Refine one feature at one pyramid level (inverse-compositional LK:
     template gradients fixed, 2x2 normal equations per iteration)."""
@@ -114,6 +115,12 @@ def _track_level(
 
     (pt, _), _ = jax.lax.scan(body, (pt_curr0, ~good), None, length=iters)
 
+    if not final_level:
+        # Coarse levels only refine the guess; rejection happens at level 0
+        # (OpenCV semantics — a weak-gradient or near-border coarse level
+        # keeps the current estimate and the finer levels decide).
+        return pt, jnp.ones((), bool)
+
     r = win // 2 + 1
     inb = (pt[0] >= r) & (pt[0] < W - r) & (pt[1] >= r) & (pt[1] < H - r)
     # Template center must also be inside the previous image.
@@ -121,7 +128,7 @@ def _track_level(
     return pt, good & inb
 
 
-_track_level_batch = jax.vmap(_track_level, in_axes=(None, None, 0, 0, None, None, None))
+_track_level_batch = jax.vmap(_track_level, in_axes=(None, None, 0, 0, None, None, None, None))
 
 
 def optical_flow_pyr_lk(
@@ -147,7 +154,7 @@ def optical_flow_pyr_lk(
         prev_l = pyr_prev[lvl]
         curr_l = pyr_curr[lvl]
         pts, ok = _track_level_batch(
-            prev_l, curr_l, pts_prev / s, pts, win, iters, eps
+            prev_l, curr_l, pts_prev / s, pts, win, iters, eps, lvl == 0
         )
         valid = valid & ok
         if lvl > 0:

@@ -153,6 +153,22 @@ def make_landmarks(
     return np.stack([r * np.cos(a), r * np.sin(a), z], axis=1)
 
 
+def make_wall_landmarks(
+    num: int = 600,
+    radius: float = 8.0,
+    z_min: float = -3.0,
+    z_max: float = 4.0,
+    seed: int = 1,
+) -> np.ndarray:
+    """Landmarks exactly on the render wall (sim.render r_wall), so blob
+    parallax and background parallax agree — the image-consistent variant
+    used for end-to-end pipeline accuracy tests."""
+    rng = np.random.default_rng(seed)
+    a = rng.uniform(0.0, 2.0 * np.pi, num)
+    z = rng.uniform(z_min, z_max, num)
+    return np.stack([radius * np.cos(a), radius * np.sin(a), z], axis=1)
+
+
 @dataclasses.dataclass
 class SimFeatures:
     """Frontend-like output: per frame, fixed F feature slots."""

