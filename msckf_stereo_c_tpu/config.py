@@ -46,6 +46,9 @@ class FrontendConfig:
     # Per-cell candidate budget for the FAST detector's occupancy grid
     # (vikit CornerDetector(30, 47, thr): ~16 px cells for 752x480).
     detector_cell: int = 16
+    # KLT implementation: "gemm" (matmul-resampling TPU fast path) or
+    # "gather" (reference bilinear-gather path).
+    klt_impl: str = "gemm"
 
     @property
     def num_grids(self) -> int:

@@ -100,8 +100,21 @@ def synchronize_stereo(seq: EurocSequence, max_dt: float = 0.004):
     )
 
 
-def load_images(files: List[str]) -> np.ndarray:
-    """Decode grayscale PNGs into one (T, H, W) float32 array."""
+def load_images(files: List[str], width: int = 752, height: int = 480) -> np.ndarray:
+    """Decode grayscale PNGs into one (T, H, W) float32 array.
+
+    Uses the native threaded decoder (native/euroc_runtime.cpp) when built;
+    falls back to cv2."""
+    from . import native
+
+    if native.available():
+        stream = native.ImageStream(files, width, height, queue_depth=64, threads=6)
+        out = stream.next_batch(len(files)).astype(np.float32)
+        if stream.errors:
+            raise IOError(f"{stream.errors} PNG decode failures")
+        stream.close()
+        return out
+
     import cv2
 
     imgs = []

@@ -24,6 +24,7 @@ from ..config import FrontendConfig, StereoCalib
 from ..ops.camera import distort_points, undistort_points
 from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
+from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
 from ..ops.pyramid import build_pyramid
 from ..utils.lie import skew, so3_exp
 
@@ -141,7 +142,8 @@ def _stereo_match(
     # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
     xn = undistort_points(pts0, params.K0, params.D0, R=params.R_c0_c1)
     guess = distort_points(xn, params.K1, params.D1)
-    res = optical_flow_pyr_lk(
+    klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
+    res = klt(
         pyr0, pyr1, pts0, guess, valid,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
     )
@@ -279,7 +281,8 @@ def frontend_step(
     guess = warped[:, :2] / warped[:, 2:3]
 
     active = state.fid >= 0
-    res = optical_flow_pyr_lk(
+    klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
+    res = klt(
         pyr0_prev, pyr0_curr, state.pts0, guess, active,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
     )

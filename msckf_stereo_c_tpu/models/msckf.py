@@ -23,7 +23,14 @@ from .propagation import ImuBatch, propagate
 from .pruning import compact_after_removal, find_redundant_cam_slots
 from .state import FilterState, continuous_noise_cov, init_filter_state, initial_cov_diag
 from .triangulation import check_motion_tracks, triangulate_tracks
-from .update import gating_scores, measurement_update, track_jacobians
+from .update import (
+    gating_scores,
+    measurement_update,
+    measurement_update_schur,
+    schur_gating,
+    track_blocks,
+    track_jacobians,
+)
 
 
 class FrameFeatures(NamedTuple):
@@ -84,6 +91,40 @@ def make_params(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> Msc
     )
 
 
+def _gate_and_update(
+    state: FilterState,
+    params: MsckfParams,
+    method: str,
+    pos,
+    obs,
+    obs_mask,
+    use,
+    dof,
+) -> FilterState:
+    """Chi-square gate + compressed EKF update over the selected tracks.
+
+    method='qr'/'cholesky': explicit nullspace projection (complete QR) then
+    dense compression (reference-faithful, used on CPU/f64).
+    method='schur': feature-marginalized information accumulation — no QR
+    anywhere; the batched-matmul TPU fast path (see update.py)."""
+    if method == "schur":
+        blocks = track_blocks(
+            pos, obs, obs_mask, state.cams, state.gravity,
+            params.R_c0_c1, params.t_c0_c1,
+        )
+        gamma = schur_gating(blocks, state.P, params.sigma2)
+        use = use & (gamma < params.chi2_table[dof])
+        return measurement_update_schur(state, blocks, use, params.sigma2)
+
+    jacs = track_jacobians(
+        pos, obs, obs_mask, state.cams, state.gravity,
+        params.R_c0_c1, params.t_c0_c1,
+    )
+    gamma = gating_scores(jacs, state.P, params.sigma2)
+    use = use & (gamma < params.chi2_table[dof])
+    return measurement_update(state, jacs, use, params.sigma2, method=method)
+
+
 def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) -> FilterState:
     """Triangulate + update with tracks that lost tracking this frame
     (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
@@ -112,16 +153,11 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) 
     pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
 
     use = candidates & init_ok
-
-    jacs = track_jacobians(
-        pos, tracks.obs, tracks.obs_valid & use[:, None], state.cams,
-        state.gravity, params.R_c0_c1, params.t_c0_c1,
-    )
-    gamma = gating_scores(jacs, state.P, params.sigma2)
     dof = jnp.clip(n_obs - 1, 1, 99)
-    use = use & (gamma < params.chi2_table[dof])
-
-    state = measurement_update(state, jacs, use, params.sigma2, method=method)
+    state = _gate_and_update(
+        state, params, method, pos, tracks.obs,
+        tracks.obs_valid & use[:, None], use, dof,
+    )
 
     # All processed or too-short tracks leave the map.
     gone = drop_only | candidates
@@ -163,16 +199,11 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str) -> F
     newly_init = update_cand & ~tracks.initialized & motion_ok & tri.valid
 
     use = update_cand & init_ok
-
-    jacs = track_jacobians(
-        pos, tracks.obs, involved_mask & use[:, None], state.cams,
-        state.gravity, params.R_c0_c1, params.t_c0_c1,
-    )
-    gamma = gating_scores(jacs, state.P, params.sigma2)
     dof = jnp.clip(involved, 1, 99)
-    use = use & (gamma < params.chi2_table[dof])
-
-    state = measurement_update(state, jacs, use, params.sigma2, method=method)
+    state = _gate_and_update(
+        state, params, method, pos, tracks.obs,
+        involved_mask & use[:, None], use, dof,
+    )
 
     # Persist positions of tracks initialized during this phase (the
     # reference keeps Feature::position for later updates).

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linalg import inv3x3
 from ..utils.lie import skew
 from ..utils.quaternion import jpl_to_rot, quat_multiply, small_angle_quaternion
 from .state import CamStates, FilterState
@@ -34,6 +35,17 @@ class TrackJacobians(NamedTuple):
     H_o: jnp.ndarray  # (K, 4M, D) nullspace-projected stacked Jacobians
     r_o: jnp.ndarray  # (K, 4M) projected residuals
     rows_valid: jnp.ndarray  # (K, 4M) which projected rows carry information
+
+
+class TrackBlocks(NamedTuple):
+    """Compact per-(track, camera) Jacobian blocks — the sparse structure the
+    TPU 'schur' path exploits (H_x only ever touches one camera's 6 columns,
+    featureJacobian msckf_vio.cpp:700-707)."""
+
+    H_x: jnp.ndarray  # (K, M, 4, 6)
+    H_f: jnp.ndarray  # (K, M, 4, 3)
+    r: jnp.ndarray  # (K, M, 4)
+    obs_mask: jnp.ndarray  # (K, M)
 
 
 def _cam1_pose(cam_q_i, cam_p_i, R_c0_c1, t_c0_c1):
@@ -105,6 +117,29 @@ def _cam_selector(M: int, D: int) -> np.ndarray:
     return E
 
 
+def track_blocks(
+    pos_w: jnp.ndarray,  # (K, 3) triangulated positions
+    obs: jnp.ndarray,  # (K, M, 4)
+    obs_mask: jnp.ndarray,  # (K, M) which observations participate
+    cams: CamStates,
+    gravity: jnp.ndarray,
+    R_c0_c1: jnp.ndarray,
+    t_c0_c1: jnp.ndarray,
+) -> TrackBlocks:
+    """Per-(track, camera) OC-projected Jacobian blocks, masked."""
+    dtype = pos_w.dtype
+    H_x, H_f, r = _jac_grid(
+        pos_w, obs, cams.q, cams.p, cams.q_null, cams.p_null, gravity, R_c0_c1, t_c0_c1
+    )  # (K,M,4,6), (K,M,4,3), (K,M,4)
+    m = obs_mask[..., None, None].astype(dtype)
+    return TrackBlocks(
+        H_x=H_x * m,
+        H_f=H_f * m,
+        r=r * obs_mask[..., None].astype(dtype),
+        obs_mask=obs_mask,
+    )
+
+
 def track_jacobians(
     pos_w: jnp.ndarray,  # (K, 3) triangulated positions
     obs: jnp.ndarray,  # (K, M, 4)
@@ -120,14 +155,8 @@ def track_jacobians(
     dtype = pos_w.dtype
     D = 21 + 6 * M
 
-    H_x, H_f, r = _jac_grid(
-        pos_w, obs, cams.q, cams.p, cams.q_null, cams.p_null, gravity, R_c0_c1, t_c0_c1
-    )  # (K,M,4,6), (K,M,4,3), (K,M,4)
-
-    m = obs_mask[..., None, None].astype(dtype)
-    H_x = H_x * m
-    H_f = H_f * m
-    r = r * obs_mask[..., None].astype(dtype)
+    blocks = track_blocks(pos_w, obs, obs_mask, cams, gravity, R_c0_c1, t_c0_c1)
+    H_x, H_f, r = blocks.H_x, blocks.H_f, blocks.r
 
     # Scatter the 4x6 blocks into full-width rows via the constant selector.
     E = jnp.asarray(_cam_selector(M, D), dtype)
@@ -197,6 +226,125 @@ def compress_measurements(
         return R_t, r_t
     else:
         raise ValueError(f"unknown compression method {method!r}")
+
+
+def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
+    """Accumulated information (N, y) of all selected tracks with the feature
+    positions marginalized — algebraically identical to H_o^T H_o / H_o^T r_o
+    of the nullspace-projected system, but computed without any QR:
+
+      N_k = H_x^T H_x - (H_x^T H_f)(H_f^T H_f)^-1 (H_f^T H_x)
+
+    The per-camera row blocks are disjoint, so H_x^T H_x is block-diagonal
+    and everything reduces to batched small matmuls + one 3x3 solve per
+    track — pure MXU work, no decomposition of tall matrices."""
+    dtype = blocks.H_x.dtype
+    K, M = blocks.obs_mask.shape
+    use = use_mask.astype(dtype)
+
+    Dg = jnp.einsum("kmab,kmac->kmbc", blocks.H_x, blocks.H_x)  # (K,M,6,6)
+    W = jnp.einsum("kmab,kmac->kmbc", blocks.H_x, blocks.H_f)  # (K,M,6,3)
+    C = jnp.einsum("kmab,kmac->kbc", blocks.H_f, blocks.H_f)  # (K,3,3)
+    b = jnp.einsum("kmab,kma->kmb", blocks.H_x, blocks.r)  # (K,M,6)
+    z = jnp.einsum("kmab,kma->kb", blocks.H_f, blocks.r)  # (K,3)
+
+    # Guarded closed-form 3x3 inverse of C (tracks with degenerate H_f are
+    # masked out by the gating anyway; the jitter only protects numerics).
+    eps = 1e-8 * (jnp.einsum("kaa->k", C)[:, None, None] + 1.0)
+    Cinv = inv3x3(C + eps * jnp.eye(3, dtype=dtype))  # (K,3,3)
+    Cinv_W = jnp.einsum("kab,kmcb->kmac", Cinv, W)  # (K,M,3,6) = C^-1 W^T
+    Cinv_z = jnp.einsum("kab,kb->ka", Cinv, z)  # (K,3)
+
+    # N cam-block (i, j) = delta_ij D_i - W_i C^-1 W_j^T, summed over tracks.
+    WCW = jnp.einsum("kiab,kjbc->kijac", W, Cinv_W)  # (K,M,M,6,6)
+    Ncam = -jnp.einsum("k,kijac->ijac", use, WCW)
+    Ncam = Ncam.at[jnp.arange(M), jnp.arange(M)].add(
+        jnp.einsum("k,kmbc->mbc", use, Dg)
+    )
+    ycam = jnp.einsum("k,kmb->mb", use, b) - jnp.einsum(
+        "k,kmba,ka->mb", use, W, Cinv_z
+    )
+
+    Ncc = Ncam.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
+    N = jnp.zeros((D, D), dtype).at[21:, 21:].set(Ncc)
+    y = jnp.zeros((D,), dtype).at[21:].set(ycam.reshape(6 * M))
+    return N, y
+
+
+def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
+    """Exact Mahalanobis gamma of the nullspace-projected system, computed
+    without forming the projection basis.
+
+    With M_k = H_stack P H_stack^T + sigma2 I and Q1 an orthonormal basis of
+    col(H_f), the projected gamma equals r^T w where w solves the
+    equality-constrained system  M w + Q1 lam = r,  Q1^T w = 0  (block
+    elimination with two Cholesky solves)."""
+    dtype = blocks.H_x.dtype
+    K, M = blocks.obs_mask.shape
+    R4 = 4 * M
+
+    # M_k blocks (i,j) = H_xi Pc[i,j] H_xj^T from the camera part of P.
+    Pc = P[21:, 21:].reshape(M, 6, M, 6).transpose(0, 2, 1, 3)  # (M,M,6,6)
+    MP = jnp.einsum("kiab,ijbc,kjdc->kijad", blocks.H_x, Pc, blocks.H_x)
+    Mk = MP.transpose(0, 1, 3, 2, 4).reshape(K, R4, R4)
+    Mk = Mk + sigma2 * jnp.eye(R4, dtype=dtype)
+
+    # Orthonormal basis of col(H_f) by batched modified Gram-Schmidt (3 cols).
+    F = blocks.H_f.reshape(K, R4, 3)
+    q0 = F[..., 0]
+    q0 = q0 / jnp.maximum(jnp.linalg.norm(q0, axis=-1, keepdims=True), 1e-12)
+    q1 = F[..., 1] - jnp.einsum("kr,kr->k", q0, F[..., 1])[:, None] * q0
+    q1 = q1 / jnp.maximum(jnp.linalg.norm(q1, axis=-1, keepdims=True), 1e-12)
+    q2 = (
+        F[..., 2]
+        - jnp.einsum("kr,kr->k", q0, F[..., 2])[:, None] * q0
+        - jnp.einsum("kr,kr->k", q1, F[..., 2])[:, None] * q1
+    )
+    q2 = q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
+    Q1 = jnp.stack([q0, q1, q2], axis=-1)  # (K, 4M, 3)
+
+    r = blocks.r.reshape(K, R4)
+    cho = jnp.linalg.cholesky(Mk)
+    Minv_r = jax.scipy.linalg.cho_solve((cho, True), r[..., None])[..., 0]
+    Minv_Q = jax.scipy.linalg.cho_solve((cho, True), Q1)
+    QMQ = jnp.einsum("kra,krb->kab", Q1, Minv_Q)  # (K,3,3)
+    QMr = jnp.einsum("kra,kr->ka", Q1, Minv_r)
+    lam = jnp.einsum(
+        "kab,kb->ka", inv3x3(QMQ + 1e-12 * jnp.eye(3, dtype=dtype)), QMr
+    )
+    w = Minv_r - jnp.einsum("kra,ka->kr", Minv_Q, lam)
+    return jnp.einsum("kr,kr->k", r, w)
+
+
+def measurement_update_schur(
+    state: FilterState,
+    blocks: TrackBlocks,
+    use_mask: jnp.ndarray,
+    sigma2,
+) -> FilterState:
+    """EKF update from the accumulated Schur information — the TPU fast path
+    (no QR anywhere; equivalent to measurement_update(method='cholesky'))."""
+    dtype = state.P.dtype
+    D = state.P.shape[0]
+    N, y = schur_information(blocks, use_mask, D)
+
+    eps = 1e-10 * (jnp.trace(N) / D + 1.0)
+    L = jnp.linalg.cholesky(N + eps * jnp.eye(D, dtype=dtype))
+    R_t = L.T
+    r_t = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+
+    P = state.P
+    S = R_t @ P @ R_t.T + sigma2 * jnp.eye(D, dtype=dtype)
+    K_T = jnp.linalg.solve(S, R_t @ P)
+    K = K_T.T
+    delta = K @ r_t
+
+    I_KH = jnp.eye(D, dtype=dtype) - K @ R_t
+    P_new = I_KH @ P
+    P_new = 0.5 * (P_new + P_new.T)
+
+    state = apply_correction(state, delta)
+    return state._replace(P=P_new)
 
 
 def apply_correction(state: FilterState, delta: jnp.ndarray) -> FilterState:

@@ -39,6 +39,35 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x0, x1, x2], axis=-1)
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of 3x3 matrices (batched over leading dims)."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = (1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30))[..., None, None]
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det
+
+
 def solve2x2(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Closed-form solve for 2x2 systems (batched). Used by the KLT kernel."""
     a, bb = A[..., 0, 0], A[..., 0, 1]

@@ -60,6 +60,15 @@ def test_qr_cholesky_equivalent(world):
     assert diff.max() < 1e-4, f"qr vs cholesky diverged: {diff.max()}"
 
 
+def test_schur_equivalent(world):
+    """The QR-free Schur path (TPU fast path) is algebraically the same
+    update and must reproduce the QR trajectory."""
+    res_qr = _run(world, method="qr")
+    res_sc = _run(world, method="schur")
+    diff = np.linalg.norm(res_qr.positions - res_sc.positions, axis=1)
+    assert diff.max() < 1e-4, f"qr vs schur diverged: {diff.max()}"
+
+
 def test_covariance_symmetric_psd(world):
     res = _run(world)
     P = np.asarray(res.final_state.P)
