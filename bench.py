@@ -57,28 +57,39 @@ def main():
     d_img1 = jnp.asarray(img1, jnp.float32)
     d_t = jnp.asarray(frame_t, dtype)
 
-    method = os.environ.get("BENCH_METHOD", "cholesky")
+    method = os.environ.get("BENCH_METHOD", "schur")
+    # Batched-sequence data parallelism: B independent VIO sequences run
+    # vmapped on the one chip (the engine's throughput axis — multi-run
+    # EuRoC evaluation; BASELINE.json config 3).  Image/IMU tensors are
+    # shared (broadcast); states are per-sequence.
+    B = int(os.environ.get("BENCH_BATCH", "8"))
 
-    def run(state):
-        return _vio_chunk(
-            state, d_img0, d_img1, d_t, batches, fparams, mparams, fcfg, mcfg, method
-        )
+    from msckf_stereo_c_tpu.models.vio import vio_step
+
+    def seq_scan(state):
+        def step(s, xs):
+            i0, i1, t, b = xs
+            return vio_step(s, i0, i1, t, b, fparams, mparams, fcfg, mcfg, method)
+
+        return jax.lax.scan(step, state, (d_img0, d_img1, d_t, batches))
+
+    run_batched = jax.jit(jax.vmap(seq_scan))
+    states0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0)
 
     # Warmup/compile.
     t0 = time.time()
-    state, (pose, _) = run(state0)
+    state, (pose, _) = run_batched(states0)
     jax.block_until_ready(pose.p)
     compile_time = time.time() - t0
 
-    # Timed runs (state carries across repeats; same frames).
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(reps):
-        state, (pose, _) = run(state0)
+        state, (pose, _) = run_batched(states0)
     jax.block_until_ready(pose.p)
     dt = (time.time() - t0) / reps
 
-    fps = n_frames / dt
+    fps = B * n_frames / dt
     result = {
         "metric": "vio_frames_per_sec_per_chip",
         "value": round(fps, 2),
@@ -87,7 +98,7 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# device={jax.devices()[0].device_kind} frames={n_frames} "
+        f"# device={jax.devices()[0].device_kind} frames={n_frames} batch={B} "
         f"reps={reps} compile={compile_time:.1f}s run={dt:.3f}s method={method}",
         file=sys.stderr,
     )

@@ -105,6 +105,18 @@ def process_model_step(
     imu = state.imu
     dtype = state.P.dtype
     D = state.P.shape[0]
+    imu_new, Phi, Q = _imu_step(imu, t, m_gyro, m_acc, Q_imu, state.gravity, valid)
+
+    Phi_full = jnp.eye(D, dtype=dtype).at[:21, :21].set(Phi)
+    P = Phi_full @ state.P @ Phi_full.T
+    P = P.at[:21, :21].add(Q)
+    P = 0.5 * (P + P.T)
+    return state._replace(imu=imu_new, P=P)
+
+
+def _imu_step(imu: ImuState, t, m_gyro, m_acc, Q_imu, gravity, valid):
+    """Nominal-state RK4 step + the 21x21 (Phi, Q) pair for this sample."""
+    dtype = imu.q.dtype
 
     gyro = m_gyro - imu.bg
     acc = m_acc - imu.ba
@@ -132,28 +144,22 @@ def process_model_step(
     Fdt2 = Fdt @ Fdt
     Phi = jnp.eye(21, dtype=dtype) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * (Fdt2 @ Fdt)
 
-    q_new, v_new, p_new = _predict_new_state(imu, dt, gyro, acc, state.gravity)
+    q_new, v_new, p_new = _predict_new_state(imu, dt, gyro, acc, gravity)
 
     # Observability-constrained modification of Phi rows {0, 6, 12}
     # (msckf_vio.cpp:442-455) against the FEJ shadow states.
     R_kk_1 = jpl_to_rot(imu.q_null)
     Phi = Phi.at[0:3, 0:3].set(jpl_to_rot(q_new) @ R_kk_1.T)
-    u = R_kk_1 @ state.gravity
+    u = R_kk_1 @ gravity
     s = u / jnp.dot(u, u)
     A1 = Phi[6:9, 0:3]
-    w1 = skew(imu.v_null - v_new) @ state.gravity
+    w1 = skew(imu.v_null - v_new) @ gravity
     Phi = Phi.at[6:9, 0:3].set(A1 - jnp.outer(A1 @ u - w1, s))
     A2 = Phi[12:15, 0:3]
-    w2 = skew(dt * imu.v_null + imu.p_null - p_new) @ state.gravity
+    w2 = skew(dt * imu.v_null + imu.p_null - p_new) @ gravity
     Phi = Phi.at[12:15, 0:3].set(A2 - jnp.outer(A2 @ u - w2, s))
 
-    # Covariance propagation over the full preallocated state:
-    # P <- blockdiag(Phi, I) P blockdiag(Phi, I)^T + blockdiag(Q, 0).
     Q = (Phi @ G @ Q_imu @ G.T @ Phi.T) * dt
-    Phi_full = jnp.eye(D, dtype=dtype).at[:21, :21].set(Phi)
-    P = Phi_full @ state.P @ Phi_full.T
-    P = P.at[:21, :21].add(Q)
-    P = 0.5 * (P + P.T)
 
     new_imu = imu._replace(
         q=q_new,
@@ -164,16 +170,40 @@ def process_model_step(
         p_null=p_new,
         time=jnp.where(valid, t, imu.time),
     )
-    return state._replace(imu=new_imu, P=P)
+    return new_imu, Phi, Q
 
 
 def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> FilterState:
-    """Scan the process model over a fixed-size IMU batch
-    (reference batchImuProcessing, msckf_vio.cpp:377-407)."""
+    """Batch IMU propagation (reference batchImuProcessing,
+    msckf_vio.cpp:377-407).
 
-    def step(s, x):
+    The scan composes the per-sample 21x21 transition/noise pairs
+    (Phi_acc <- Phi_i Phi_acc, Q_acc <- Phi_i Q_acc Phi_i^T + Q_i) and the
+    accumulated pair hits the full (D, D) covariance ONCE per frame — exact
+    in exact arithmetic, and replaces L sequential D x D multiplies with
+    L tiny 21 x 21 ones plus a single big one (the per-step symmetrization
+    of the reference collapses into one final symmetrization)."""
+    dtype = state.P.dtype
+    D = state.P.shape[0]
+    eye21 = jnp.eye(21, dtype=dtype)
+
+    def step(carry, x):
+        imu, Phi_acc, Q_acc = carry
         t, gyro, acc, valid = x
-        return process_model_step(s, t, gyro, acc, Q_imu, valid), None
+        imu, Phi, Q = _imu_step(imu, t, gyro, acc, Q_imu, state.gravity, valid)
+        Phi_acc = Phi @ Phi_acc
+        Q_acc = Phi @ Q_acc @ Phi.T + Q
+        return (imu, Phi_acc, Q_acc), None
 
-    state, _ = jax.lax.scan(step, state, (batch.time, batch.gyro, batch.acc, batch.valid))
-    return state
+    (imu, Phi_acc, Q_acc), _ = jax.lax.scan(
+        step,
+        (state.imu, eye21, jnp.zeros((21, 21), dtype)),
+        (batch.time, batch.gyro, batch.acc, batch.valid),
+    )
+
+    P = state.P
+    P = P.at[:21, :].set(Phi_acc @ P[:21, :])
+    P = P.at[:, :21].set(P[:, :21] @ Phi_acc.T)
+    P = P.at[:21, :21].add(Q_acc)
+    P = 0.5 * (P + P.T)
+    return state._replace(imu=imu, P=P)

@@ -62,10 +62,17 @@ def _track_level_gemm(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
     dtype = img_prev.dtype
     H, W = img_prev.shape
     P = win
-    S = win + 2 * _SEARCH_RADIUS + 2
+    # Clamp the search patch to the level size (tiny coarse levels).
+    S = min(win + 2 * _SEARCH_RADIUS + 2, H, W)
 
     # --- Template (+gradient) from the previous image: (P+2)^2 super-patch.
-    T = P + 3  # sample (P+2) rows/cols + 1 for bilinear
+    # The (P+2) interpolated rows start at fractional offset frac + T//2 - 8
+    # inside the raw patch; the last bilinear pair needs index up to
+    # T//2 + 9, so T - T//2 >= 10 -> T = P + 4.
+    T = P + 4
+    if S < P + 2 or min(H, W) < T:
+        # Level too small to track; pass the guess through.
+        return pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
     tpatch, torg = _extract_patches(img_prev, pts_prev, T)
     # The (P+2)-window is centered: its first sample sits at pts - (P+2-1)/2.
     first = pts_prev - (P + 1) / 2.0 - torg  # fractional origin inside tpatch
