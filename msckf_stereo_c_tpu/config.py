@@ -49,6 +49,9 @@ class FrontendConfig:
     # KLT implementation: "gemm" (matmul-resampling TPU fast path) or
     # "gather" (reference bilinear-gather path).
     klt_impl: str = "gemm"
+    # Lens models (static for jit; set from the camchain by the drivers).
+    distortion_model0: str = "radtan"
+    distortion_model1: str = "radtan"
 
     @property
     def num_grids(self) -> int:

@@ -140,8 +140,8 @@ def _stereo_match(
     (reference stereoMatch, image_processor.cpp:534-620)."""
     H, W = img_shape
     # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
-    xn = undistort_points(pts0, params.K0, params.D0, R=params.R_c0_c1)
-    guess = distort_points(xn, params.K1, params.D1)
+    xn = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
+    guess = distort_points(xn, params.K1, params.D1, model=cfg.distortion_model1)
     klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
     res = klt(
         pyr0, pyr1, pts0, guess, valid,
@@ -152,8 +152,8 @@ def _stereo_match(
     ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
 
     # Epipolar consistency with the known essential matrix.
-    un0 = undistort_points(pts0, params.K0, params.D0)
-    un1 = undistort_points(pts1, params.K1, params.D1)
+    un0 = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0)
+    un1 = undistort_points(pts1, params.K1, params.D1, model=cfg.distortion_model1)
     p0h = jnp.concatenate([un0, jnp.ones_like(un0[:, :1])], axis=1)
     p1h = jnp.concatenate([un1, jnp.ones_like(un1[:, :1])], axis=1)
     line = p0h @ params.E.T  # (N,3) epipolar lines in cam1
@@ -241,11 +241,11 @@ def _prune_grid_features(state: TrackerState, cfg: FrontendConfig, img_shape):
     return state._replace(fid=jnp.where(keep, state.fid, -1))
 
 
-def _publish(state: TrackerState, params: FrontendParams, dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _publish(state: TrackerState, params: FrontendParams, cfg: FrontendConfig, dtype) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Undistort to normalized coordinates and emit the measurement set
     (reference publish, image_processor.cpp:1137-1182)."""
-    un0 = undistort_points(state.pts0, params.K0, params.D0)
-    un1 = undistort_points(state.pts1, params.K1, params.D1)
+    un0 = undistort_points(state.pts0, params.K0, params.D0, model=cfg.distortion_model0)
+    un1 = undistort_points(state.pts1, params.K1, params.D1, model=cfg.distortion_model1)
     uv = jnp.concatenate([un0, un1], axis=1).astype(dtype)
     return state.fid, uv, state.fid >= 0
 
@@ -312,7 +312,7 @@ def frontend_step(
     )
     state = _prune_grid_features(state, cfg, img_shape)
 
-    fid, uv, valid = _publish(state, params, uv_dtype(state))
+    fid, uv, valid = _publish(state, params, cfg, uv_dtype(state))
     out = FrameOutput(
         fid=fid, uv=uv, valid=valid,
         before_tracking=before_tracking,

@@ -295,3 +295,12 @@ def filter_step(
 
 def init_state(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> FilterState:
     return init_filter_state(cfg, calib, dtype)
+
+
+def reset_filter(state: FilterState, cfg: FilterConfig, calib: StereoCalib) -> FilterState:
+    """Full manual reset (reference resetCallback, msckf_vio.cpp:243-304):
+    rebuilds the state/covariance from config, clears cameras, features and
+    buffered timing — keeping only the dtype/shapes.  Never invoked by the
+    sequence drivers (as in the reference); exposed for operators."""
+    fresh = init_filter_state(cfg, calib, state.P.dtype)
+    return fresh._replace(gravity=state.gravity)

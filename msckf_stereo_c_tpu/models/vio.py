@@ -147,6 +147,13 @@ def run_vio_sequence(
 ) -> VioResult:
     """Host driver: chunked scan over the image sequence (the reference's
     per-image while loop, apps/run_euroc_single_thread.cpp:189-324)."""
+    import dataclasses as _dc
+
+    fcfg = _dc.replace(
+        fcfg,
+        distortion_model0=calib.cam0.distortion_model,
+        distortion_model1=calib.cam1.distortion_model,
+    )
     fparams = make_frontend_params(calib, image_dtype)
     mparams = make_params(mcfg, calib, filter_dtype)
     H, W = images0.shape[1:]
