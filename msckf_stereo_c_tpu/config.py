@@ -81,12 +81,11 @@ class FilterConfig:
     initial_cov_acc_bias: float = 0.01
     initial_cov_extrinsic_rotation: float = 3.0462e-4
     initial_cov_extrinsic_translation: float = 2.5e-5
-    # TPU-native static capacities (replace dynamic std::map state).
+    # TPU-native static capacities (replace dynamic std::map state).  The
+    # reference's 1500-row stacked-Jacobian cap (msckf_vio.cpp:1009) has no
+    # analog here: information accumulation is O(D^2) regardless of rows.
     max_tracks: int = 128  # feature map_server pool size
     max_imu_per_frame: int = 16  # IMU slots per frame batch (EuRoC: ~10)
-    max_update_tracks: int = 40  # tracks consumed per measurement update
-    # Stacked-row cap for the update; reference caps at 1500 (msckf_vio.cpp:1009)
-    max_update_rows: int = 1024
     imu_init_samples: int = 200  # gravity/bias init window (msckf_vio.cpp:196)
 
     @property

@@ -117,8 +117,9 @@ def _rank_within_group(group: jnp.ndarray, order_key: jnp.ndarray, valid: jnp.nd
     dynamic shapes."""
     n = group.shape[0]
     g = jnp.where(valid, group, num_groups)
-    composite = g.astype(jnp.float64) * 1e12 + order_key.astype(jnp.float64)
-    sorted_idx = jnp.argsort(composite)
+    # Two-key sort (group, then key).  A float composite g*BIG+key would lose
+    # the key entirely in f32 on TPU; lexsort keeps both exact.
+    sorted_idx = jnp.lexsort((order_key, g))
     sorted_g = g[sorted_idx]
     pos = jnp.arange(n)
     first_pos = jnp.searchsorted(sorted_g, jnp.arange(num_groups + 1))
@@ -192,15 +193,22 @@ def _add_new_features(
     cand_score = jnp.zeros((C,), corners.score.dtype).at[slot].set(corners.score, mode="drop")
     cand_valid = jnp.zeros((C,), bool).at[slot].set(corners.valid, mode="drop")
 
-    # Stereo match the candidates.
-    cand_pts1, cand_ok = _stereo_match(pyr0, pyr1, cand_xy, cand_valid, params, cfg, img_shape)
-
     # Fill grids that are below the target population.
     pool_grid = _grid_code(state.pts0, img_shape, cfg)
     pool_count = jnp.zeros((cfg.num_grids,), jnp.int32).at[
         jnp.where(state.fid >= 0, pool_grid, cfg.num_grids)
     ].add(1, mode="drop")
     vacancy = jnp.maximum(fill_to - pool_count, 0)  # (G,)
+
+    # Stereo match the candidates — only when some grid actually needs a
+    # refill (most frames are fully populated; skips a whole KLT pass).
+    def do_match(_):
+        return _stereo_match(pyr0, pyr1, cand_xy, cand_valid, params, cfg, img_shape)
+
+    def no_match(_):
+        return cand_xy, jnp.zeros_like(cand_valid)
+
+    cand_pts1, cand_ok = jax.lax.cond(jnp.any(vacancy > 0), do_match, no_match, None)
 
     cgrid = _grid_code(cand_xy, img_shape, cfg)
     crank = _rank_within_group(cgrid, -cand_score, cand_ok, cfg.num_grids)

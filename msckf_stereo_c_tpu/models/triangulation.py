@@ -136,8 +136,12 @@ def triangulate_track(
 
     cost0 = _cost(R, t, w_valid, x0, z)
 
-    def lm_step(carry, _):
-        x, lam, cost = carry
+    def lm_cond(carry):
+        _, _, _, delta_norm, it = carry
+        return (it < _LM_ITERS) & (delta_norm > _PRECISION)
+
+    def lm_step(carry):
+        x, lam, cost, _, it = carry
         A, b = _normal_equations(R, t, w_valid, x, z)
         A_d = A + lam * jnp.eye(3, dtype=dtype)
         delta = solve3x3(A_d, b)
@@ -151,10 +155,20 @@ def triangulate_track(
             jnp.maximum(lam * 0.1, _LAMBDA_MIN),
             jnp.minimum(lam * 10.0, _LAMBDA_MAX),
         )
-        return (x, lam, cost), None
+        return (x, lam, cost, jnp.linalg.norm(delta), it + 1)
 
-    (x, _, _), _ = jax.lax.scan(
-        lm_step, (x0, jnp.asarray(_LAMBDA_INIT, dtype), cost0), None, length=_LM_ITERS
+    # Early-exit LM (the reference's outer loop stops at delta < 5e-7,
+    # feature.hpp:440-444); under vmap this runs until the whole pool is done.
+    (x, _, _, _, _) = jax.lax.while_loop(
+        lm_cond,
+        lm_step,
+        (
+            x0,
+            jnp.asarray(_LAMBDA_INIT, dtype),
+            cost0,
+            jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32),
+        ),
     )
 
     inv_rho = 1.0 / jnp.where(jnp.abs(x[2]) > 1e-12, x[2], 1e-12)

@@ -102,8 +102,12 @@ def _track_level_gemm(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
     lo = jnp.asarray(0.0, dtype)
     hi = jnp.asarray(S - P - 1.0, dtype)
 
-    def body(carry, _):
-        pts, converged = carry
+    def cond(carry):
+        _, converged, it = carry
+        return (it < iters) & ~jnp.all(converged)
+
+    def body(carry):
+        pts, converged, it = carry
         first = pts - (P - 1) / 2.0 - sorg  # fractional window origin in patch
         fx = jnp.clip(first[:, 0], lo, hi)
         fy = jnp.clip(first[:, 1], lo, hi)
@@ -126,9 +130,14 @@ def _track_level_gemm(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
         )
         now_conv = jnp.linalg.norm(delta, axis=-1) < eps
         pts = jnp.where(converged[:, None], pts, new_pts)
-        return (pts, converged | now_conv), None
+        return (pts, converged | now_conv, it + 1)
 
-    (pts, _), _ = jax.lax.scan(body, (pts_curr0, ~good), None, length=iters)
+    # Early-exit loop: typical tracks converge in <10 iterations; the whole
+    # batch stops as soon as every feature has (the fixed-length scan paid
+    # for 30 always).
+    pts, _, _ = jax.lax.while_loop(
+        cond, body, (pts_curr0, ~good, jnp.zeros((), jnp.int32))
+    )
 
     if not final_level:
         return pts, jnp.ones(pts.shape[0], bool)

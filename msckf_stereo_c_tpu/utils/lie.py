@@ -46,10 +46,14 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Rotation matrix -> axis-angle vector (principal branch, batched)."""
+    """Rotation matrix -> axis-angle vector (principal branch, batched).
+
+    atan2-based: theta = atan2(|w|/2, (tr-1)/2) with w the skew part, which
+    keeps both value AND gradient finite at the identity (the arccos form
+    has an infinite derivative at tr=3, poisoning autodiff through
+    converged residuals).  Angles near pi (where w -> 0 again) are outside
+    this engine's use (inter-keyframe rotations)."""
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -58,10 +62,14 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-6
-    # near 0: w/2 * (1 + t^2/6); generic: w * theta / (2 sin theta)
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / jnp.where(small, 1.0, 2.0 * sin_t))
+    nsq = jnp.sum(w * w, axis=-1)  # = 4 sin^2(theta)
+    small = nsq < 1e-24
+    s = 0.5 * jnp.sqrt(jnp.where(small, 1.0, nsq))  # sin(theta), guarded
+    c = 0.5 * (tr - 1.0)  # cos(theta)
+    theta = jnp.arctan2(s, c)
+    # generic: theta / (2 sin theta); series: 1/2 + theta^2/12 with
+    # theta^2 ~ nsq/4 (gradient-safe polynomial in nsq).
+    scale = jnp.where(small, 0.5 + nsq / 48.0, theta / jnp.where(small, 1.0, 2.0 * s))
     return w * scale[..., None]
 
 

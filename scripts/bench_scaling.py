@@ -5,7 +5,13 @@ TPU chip in this environment, the collective path is validated on a virtual
 CPU mesh (the same shard_map program the driver dry-runs); on a pod slice
 the identical code shards over real ICI.
 
-Weak scaling: B=N sequences over N devices vs N sequences on 1 device."""
+Weak scaling: B=N sequences over N devices vs N sequences on 1 device.
+
+NOTE: on a virtual CPU mesh the N "devices" share the same physical cores
+and host-side collectives dominate, so the efficiency numbers printed here
+are NOT hardware-meaningful — this script exists to exercise the sharded
+program end-to-end.  Real efficiency must be measured on a pod slice where
+each mesh element is a chip and collectives ride ICI."""
 import os
 import sys
 import time
