@@ -87,6 +87,11 @@ class FilterConfig:
     max_tracks: int = 128  # feature map_server pool size
     max_imu_per_frame: int = 16  # IMU slots per frame batch (EuRoC: ~10)
     imu_init_samples: int = 200  # gravity/bias init window (msckf_vio.cpp:196)
+    # Update-candidate budget per phase: tracks finishing in one frame are
+    # few (~10-20); gating/update tensors are compacted to this many slots
+    # (the TPU analog of the reference's 1500-row cap, msckf_vio.cpp:1009 —
+    # overflow candidates are dropped from the update, not from the map).
+    max_update_tracks: int = 32
 
     @property
     def gyro_noise_var(self) -> float:

@@ -100,13 +100,29 @@ def _gate_and_update(
     obs_mask,
     use,
     dof,
+    max_update: int = 0,
 ) -> FilterState:
     """Chi-square gate + compressed EKF update over the selected tracks.
 
     method='qr'/'cholesky': explicit nullspace projection (complete QR) then
     dense compression (reference-faithful, used on CPU/f64).
     method='schur': feature-marginalized information accumulation — no QR
-    anywhere; the batched-matmul TPU fast path (see update.py)."""
+    anywhere; the batched-matmul TPU fast path (see update.py).
+
+    ``max_update > 0`` compacts the candidate set to that many slots before
+    any Jacobian work (only ~10-20 tracks finish per frame; computing
+    gating Cholesky lanes for the whole pool is wasted work).  Overflow
+    candidates are dropped from the update only — their map entries are
+    handled by the caller exactly as if gated out."""
+    if max_update and max_update < use.shape[0]:
+        order = jnp.argsort(~use)  # stable: selected tracks first
+        idx = order[:max_update]
+        pos = pos[idx]
+        obs = obs[idx]
+        obs_mask = obs_mask[idx]
+        use = use[idx]
+        dof = dof[idx]
+
     if method == "schur":
         blocks = track_blocks(
             pos, obs, obs_mask, state.cams, state.gravity,
@@ -125,7 +141,7 @@ def _gate_and_update(
     return measurement_update(state, jacs, use, params.sigma2, method=method)
 
 
-def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) -> FilterState:
+def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0) -> FilterState:
     """Triangulate + update with tracks that lost tracking this frame
     (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
     tracks = state.tracks
@@ -156,7 +172,7 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) 
     dof = jnp.clip(n_obs - 1, 1, 99)
     state = _gate_and_update(
         state, params, method, pos, tracks.obs,
-        tracks.obs_valid & use[:, None], use, dof,
+        tracks.obs_valid & use[:, None], use, dof, max_update,
     )
 
     # All processed or too-short tracks leave the map.
@@ -169,7 +185,7 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str) 
     return state._replace(tracks=tracks)
 
 
-def _prune_cam_states(state: FilterState, params: MsckfParams, method: str) -> FilterState:
+def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_update: int = 0) -> FilterState:
     """Marginalize two redundant camera states
     (reference pruneCamStateBuffer, msckf_vio.cpp:1073-1184)."""
     tracks = state.tracks
@@ -202,7 +218,7 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str) -> F
     dof = jnp.clip(involved, 1, 99)
     state = _gate_and_update(
         state, params, method, pos, tracks.obs,
-        involved_mask & use[:, None], use, dof,
+        involved_mask & use[:, None], use, dof, max_update,
     )
 
     # Persist positions of tracks initialized during this phase (the
@@ -281,10 +297,10 @@ def filter_step(
     state = propagate(state, imu, params.Q_imu)
     state = augment_state(state, frame.time)
     state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
-    state = _remove_lost_features(state, params, method)
+    state = _remove_lost_features(state, params, method, cfg.max_update_tracks)
     state = jax.lax.cond(
         state.num_cams >= cfg.max_cam_state_size,
-        lambda s: _prune_cam_states(s, params, method),
+        lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks),
         lambda s: s,
         state,
     )

@@ -27,19 +27,34 @@ def _reflect101_pad(img: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
 
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """One pyramid level down. img: (..., H, W) float; returns
-    (..., (H+1)//2, (W+1)//2)."""
+    (..., (H+1)//2, (W+1)//2).
+
+    Blur and decimation are fused: only the kept rows/columns are computed
+    (the naive blur-then-decimate does 2x the arithmetic and materializes a
+    full-res intermediate)."""
     dtype = img.dtype
     k = _KERNEL.astype(dtype)
+    H = img.shape[-2]
+    W = img.shape[-1]
+    Ho = (H + 1) // 2
+    Wo = (W + 1) // 2
 
-    # Vertical blur + decimate rows.
+    # Vertical: strided slices pick rows 2j+i-2 directly.
     x = _reflect101_pad(img, 2, axis=-2)
-    rows = sum(k[i] * lax.slice_in_dim(x, i, i + img.shape[-2], axis=-2) for i in range(5))
-    rows = lax.slice_in_dim(rows, 0, img.shape[-2], axis=-2)[..., ::2, :]
+    rows = sum(
+        k[i]
+        * lax.slice_in_dim(x, i, i + 2 * Ho - 1, stride=2, axis=-2)
+        for i in range(5)
+    )
 
-    # Horizontal blur + decimate cols.
+    # Horizontal on the half-height intermediate.
     x = _reflect101_pad(rows, 2, axis=-1)
-    cols = sum(k[i] * lax.slice_in_dim(x, i, i + rows.shape[-1], axis=-1) for i in range(5))
-    return cols[..., ::2]
+    cols = sum(
+        k[i]
+        * lax.slice_in_dim(x, i, i + 2 * Wo - 1, stride=2, axis=-1)
+        for i in range(5)
+    )
+    return cols
 
 
 def build_pyramid(img: jnp.ndarray, levels: int = 4) -> List[jnp.ndarray]:
