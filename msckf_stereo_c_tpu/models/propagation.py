@@ -186,6 +186,13 @@ def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> Filter
     dtype = state.P.dtype
     D = state.P.shape[0]
     eye21 = jnp.eye(21, dtype=dtype)
+    # The IMU stream may arrive in f64 (host packing); the filter dtype wins.
+    batch = ImuBatch(
+        time=batch.time.astype(dtype),
+        gyro=batch.gyro.astype(dtype),
+        acc=batch.acc.astype(dtype),
+        valid=batch.valid,
+    )
 
     def step(carry, x):
         imu, Phi_acc, Q_acc = carry

@@ -127,15 +127,17 @@ def track_blocks(
     t_c0_c1: jnp.ndarray,
 ) -> TrackBlocks:
     """Per-(track, camera) OC-projected Jacobian blocks, masked."""
-    dtype = pos_w.dtype
     H_x, H_f, r = _jac_grid(
         pos_w, obs, cams.q, cams.p, cams.q_null, cams.p_null, gravity, R_c0_c1, t_c0_c1
     )  # (K,M,4,6), (K,M,4,3), (K,M,4)
-    m = obs_mask[..., None, None].astype(dtype)
+    # where-masking, NOT multiplication: masked pairs can carry inf/NaN from
+    # degenerate triangulations (0 * inf = NaN would poison the whole update).
+    m = obs_mask[..., None, None]  # (K,M,1,1) broadcasts over the 4x6 blocks
+    zero = jnp.zeros((), H_x.dtype)
     return TrackBlocks(
-        H_x=H_x * m,
-        H_f=H_f * m,
-        r=r * obs_mask[..., None].astype(dtype),
+        H_x=jnp.where(m, H_x, zero),
+        H_f=jnp.where(m, H_f, zero),
+        r=jnp.where(obs_mask[..., None], r, zero),
         obs_mask=obs_mask,
     )
 
@@ -219,7 +221,7 @@ def compress_measurements(
         y = H.T @ r
         # Jitter scaled to the diagonal keeps zero-information directions
         # harmless (their y component is zero).
-        eps = 1e-10 * (jnp.trace(N) / D + 1.0)
+        eps = _info_jitter(dtype) * (jnp.trace(N) / D + 1.0)
         L = jnp.linalg.cholesky(N + eps * jnp.eye(D, dtype=dtype))
         R_t = L.T
         r_t = jax.scipy.linalg.solve_triangular(L, y, lower=True)
@@ -228,44 +230,52 @@ def compress_measurements(
         raise ValueError(f"unknown compression method {method!r}")
 
 
+def _feature_basis(blocks: TrackBlocks):
+    """Orthonormal basis Q1 of col(H_f) per track via batched modified
+    Gram-Schmidt over the 3 columns (shared by gating and information
+    accumulation)."""
+    K, M = blocks.obs_mask.shape
+    F = blocks.H_f.reshape(K, 4 * M, 3)
+    q0 = F[..., 0]
+    q0 = q0 / jnp.maximum(jnp.linalg.norm(q0, axis=-1, keepdims=True), 1e-12)
+    q1 = F[..., 1] - jnp.einsum("kr,kr->k", q0, F[..., 1])[:, None] * q0
+    q1 = q1 / jnp.maximum(jnp.linalg.norm(q1, axis=-1, keepdims=True), 1e-12)
+    q2 = (
+        F[..., 2]
+        - jnp.einsum("kr,kr->k", q0, F[..., 2])[:, None] * q0
+        - jnp.einsum("kr,kr->k", q1, F[..., 2])[:, None] * q1
+    )
+    q2 = q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
+    return jnp.stack([q0, q1, q2], axis=-1)  # (K, 4M, 3)
+
+
 def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
     """Accumulated information (N, y) of all selected tracks with the feature
     positions marginalized — algebraically identical to H_o^T H_o / H_o^T r_o
-    of the nullspace-projected system, but computed without any QR:
+    of the nullspace-projected system, but computed without any tall QR.
 
-      N_k = H_x^T H_x - (H_x^T H_f)(H_f^T H_f)^-1 (H_f^T H_x)
-
-    The per-camera row blocks are disjoint, so H_x^T H_x is block-diagonal
-    and everything reduces to batched small matmuls + one 3x3 solve per
-    track — pure MXU work, no decomposition of tall matrices."""
+    The projected rows B = (I - Q1 Q1^T) H are formed explicitly in compact
+    per-camera blocks and N accumulates as the Gram matrix sum B^T B, which
+    keeps N PSD to rounding even in f32 (the equivalent Schur-complement
+    subtraction D - W C^-1 W^T cancels catastrophically in single
+    precision).  H's camera-block structure keeps everything batched small
+    matmuls: B[k,i,j] = delta_ij H_x[k,i] - Q1[k,i] (Q1[k,j]^T H_x[k,j])."""
     dtype = blocks.H_x.dtype
     K, M = blocks.obs_mask.shape
     use = use_mask.astype(dtype)
 
-    Dg = jnp.einsum("kmab,kmac->kmbc", blocks.H_x, blocks.H_x)  # (K,M,6,6)
-    W = jnp.einsum("kmab,kmac->kmbc", blocks.H_x, blocks.H_f)  # (K,M,6,3)
-    C = jnp.einsum("kmab,kmac->kbc", blocks.H_f, blocks.H_f)  # (K,3,3)
-    b = jnp.einsum("kmab,kma->kmb", blocks.H_x, blocks.r)  # (K,M,6)
-    z = jnp.einsum("kmab,kma->kb", blocks.H_f, blocks.r)  # (K,3)
+    Q1 = _feature_basis(blocks).reshape(K, M, 4, 3)
+    W = jnp.einsum("kjac,kjab->kjcb", Q1, blocks.H_x)  # (K,M,3,6) = Q1_j^T H_xj
+    B = -jnp.einsum("kiac,kjcb->kijab", Q1, W)  # (K,M,M,4,6)
+    B = B.at[:, jnp.arange(M), jnp.arange(M)].add(blocks.H_x)
 
-    # Guarded closed-form 3x3 inverse of C (tracks with degenerate H_f are
-    # masked out by the gating anyway; the jitter only protects numerics).
-    eps = 1e-8 * (jnp.einsum("kaa->k", C)[:, None, None] + 1.0)
-    Cinv = inv3x3(C + eps * jnp.eye(3, dtype=dtype))  # (K,3,3)
-    Cinv_W = jnp.einsum("kab,kmcb->kmac", Cinv, W)  # (K,M,3,6) = C^-1 W^T
-    Cinv_z = jnp.einsum("kab,kb->ka", Cinv, z)  # (K,3)
+    rho = jnp.einsum("kiac,kia->kc", Q1, blocks.r)  # (K,3)
+    r_proj = blocks.r - jnp.einsum("kiac,kc->kia", Q1, rho)  # (K,M,4)
 
-    # N cam-block (i, j) = delta_ij D_i - W_i C^-1 W_j^T, summed over tracks.
-    WCW = jnp.einsum("kiab,kjbc->kijac", W, Cinv_W)  # (K,M,M,6,6)
-    Ncam = -jnp.einsum("k,kijac->ijac", use, WCW)
-    Ncam = Ncam.at[jnp.arange(M), jnp.arange(M)].add(
-        jnp.einsum("k,kmbc->mbc", use, Dg)
-    )
-    ycam = jnp.einsum("k,kmb->mb", use, b) - jnp.einsum(
-        "k,kmba,ka->mb", use, W, Cinv_z
-    )
+    Ncam = jnp.einsum("k,kijab,kiJaB->jbJB", use, B, B)  # (M,6,M,6)
+    ycam = jnp.einsum("k,kijab,kia->jb", use, B, r_proj)  # (M,6)
 
-    Ncc = Ncam.transpose(0, 2, 1, 3).reshape(6 * M, 6 * M)
+    Ncc = Ncam.reshape(6 * M, 6 * M)
     N = jnp.zeros((D, D), dtype).at[21:, 21:].set(Ncc)
     y = jnp.zeros((D,), dtype).at[21:].set(ycam.reshape(6 * M))
     return N, y
@@ -289,19 +299,7 @@ def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
     Mk = MP.transpose(0, 1, 3, 2, 4).reshape(K, R4, R4)
     Mk = Mk + sigma2 * jnp.eye(R4, dtype=dtype)
 
-    # Orthonormal basis of col(H_f) by batched modified Gram-Schmidt (3 cols).
-    F = blocks.H_f.reshape(K, R4, 3)
-    q0 = F[..., 0]
-    q0 = q0 / jnp.maximum(jnp.linalg.norm(q0, axis=-1, keepdims=True), 1e-12)
-    q1 = F[..., 1] - jnp.einsum("kr,kr->k", q0, F[..., 1])[:, None] * q0
-    q1 = q1 / jnp.maximum(jnp.linalg.norm(q1, axis=-1, keepdims=True), 1e-12)
-    q2 = (
-        F[..., 2]
-        - jnp.einsum("kr,kr->k", q0, F[..., 2])[:, None] * q0
-        - jnp.einsum("kr,kr->k", q1, F[..., 2])[:, None] * q1
-    )
-    q2 = q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
-    Q1 = jnp.stack([q0, q1, q2], axis=-1)  # (K, 4M, 3)
+    Q1 = _feature_basis(blocks)  # (K, 4M, 3)
 
     r = blocks.r.reshape(K, R4)
     cho = jnp.linalg.cholesky(Mk)
@@ -316,6 +314,16 @@ def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
     return jnp.einsum("kr,kr->k", r, w)
 
 
+def _info_jitter(dtype) -> float:
+    """Relative Cholesky jitter for the accumulated information matrix.
+
+    The per-track Schur complement D_i - W C^-1 W^T is PSD in exact
+    arithmetic but the f32 subtraction leaves residual negative eigenvalues
+    of order eps_machine * |N|; the jitter must dominate them or the
+    Cholesky NaNs."""
+    return 1e-10 if dtype == jnp.float64 else 1e-5
+
+
 def measurement_update_schur(
     state: FilterState,
     blocks: TrackBlocks,
@@ -328,7 +336,7 @@ def measurement_update_schur(
     D = state.P.shape[0]
     N, y = schur_information(blocks, use_mask, D)
 
-    eps = 1e-10 * (jnp.trace(N) / D + 1.0)
+    eps = _info_jitter(dtype) * (jnp.trace(N) / D + 1.0)
     L = jnp.linalg.cholesky(N + eps * jnp.eye(D, dtype=dtype))
     R_t = L.T
     r_t = jax.scipy.linalg.solve_triangular(L, y, lower=True)

@@ -69,6 +69,18 @@ def test_schur_equivalent(world):
     assert diff.max() < 1e-4, f"qr vs schur diverged: {diff.max()}"
 
 
+def test_f32_schur_accuracy(world):
+    """The hardware path (float32 + schur) must stay within the ATE gate —
+    this is the dtype/method combination bench.py and the TPU drivers run."""
+    import jax.numpy as jnp
+
+    traj, imu, feats = world
+    res = _run(world, method="schur", dtype=jnp.float32)
+    ate = evaluate_ate(res.times, res.positions, feats.t, traj.p[feats.frame_index])
+    assert np.isfinite(res.positions).all()
+    assert ate.rmse < 0.08, f"f32 ATE RMSE too high: {ate.rmse}"
+
+
 def test_covariance_symmetric_psd(world):
     res = _run(world)
     P = np.asarray(res.final_state.P)
