@@ -30,7 +30,7 @@ def main():
     from msckf_stereo_c_tpu.models.frontend import make_frontend_params
     from msckf_stereo_c_tpu.models.msckf import make_params
     from msckf_stereo_c_tpu.models.runner import apply_gravity_init, pack_imu_batches
-    from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_landmarks, synthesize_imu
+    from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
     from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
     fcfg = FrontendConfig()
@@ -39,10 +39,10 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
     traj = make_circle_trajectory(duration=max(4.0, n_frames * 0.05 + 2.0))
-    landmarks = make_landmarks(num=600, seed=1)
+    landmarks = make_wall_landmarks(num=600, radius=8.0, seed=1)
     imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
     frame_idx = np.arange(0, traj.t.shape[0], 10)[:n_frames]
-    img0, img1 = render_stereo_sequence(traj, landmarks, frame_idx)
+    img0, img1 = render_stereo_sequence(traj, landmarks, frame_idx, r_wall=8.0)
     frame_t = traj.t[frame_idx]
 
     fparams = make_frontend_params(EUROC_CALIB, jnp.float32)
@@ -97,9 +97,15 @@ def main():
         "vs_baseline": round(fps / 40.0, 3),
     }
     print(json.dumps(result))
+    # Accuracy side-channel: ATE of sequence 0 on this run (stderr only).
+    from msckf_stereo_c_tpu.io import evaluate_ate
+
+    est = np.asarray(pose.p)[0]  # (B, T, 3) -> sequence 0
+    ate = evaluate_ate(frame_t, est, frame_t, traj.p[frame_idx])
     print(
         f"# device={jax.devices()[0].device_kind} frames={n_frames} batch={B} "
-        f"reps={reps} compile={compile_time:.1f}s run={dt:.3f}s method={method}",
+        f"reps={reps} compile={compile_time:.1f}s run={dt:.3f}s method={method} "
+        f"ate_rmse={ate.rmse:.4f}m",
         file=sys.stderr,
     )
 

@@ -52,6 +52,9 @@ class FrontendConfig:
     # Lens models (static for jit; set from the camchain by the drivers).
     distortion_model0: str = "radtan"
     distortion_model1: str = "radtan"
+    # Temporal 2-pt RANSAC (reference ships the solver with its call sites
+    # commented out, image_processor.cpp:482-493 — default off for parity).
+    ransac_enabled: bool = False
 
     @property
     def num_grids(self) -> int:

@@ -26,6 +26,7 @@ from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
 from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
 from ..ops.pyramid import build_pyramid
+from ..ops.ransac import two_point_ransac
 from ..utils.lie import skew, so3_exp
 
 
@@ -305,6 +306,22 @@ def frontend_step(
         pyr0_curr, pyr1_curr, tracked_pts0, tracked, params, cfg, img_shape
     )
     after_matching = jnp.sum(matched)
+
+    # --- Optional temporal 2-pt RANSAC on both cameras (trackFeatures
+    # steps 2-3; disabled by default, as in the shipping reference). ---
+    if cfg.ransac_enabled:
+        key = jax.random.fold_in(jax.random.PRNGKey(17), state.next_fid)
+        w_cam1 = params.R_imu_cam1 @ mean_gyro
+        R1_p_c = so3_exp(w_cam1 * dt).T
+        in0 = two_point_ransac(
+            state.pts0, tracked_pts0, matched, R_p_c, params.K0, params.D0,
+            key, cfg.distortion_model0, cfg.ransac_threshold,
+        )
+        in1 = two_point_ransac(
+            state.pts1, pts1, matched, R1_p_c, params.K1, params.D1,
+            jax.random.fold_in(key, 1), cfg.distortion_model1, cfg.ransac_threshold,
+        )
+        matched = matched & in0 & in1
 
     surv = jnp.where(is_first, jnp.zeros_like(matched), matched)
     state = state._replace(
