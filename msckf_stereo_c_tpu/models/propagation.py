@@ -161,14 +161,23 @@ def _imu_step(imu: ImuState, t, m_gyro, m_acc, Q_imu, gravity, valid):
 
     Q = (Phi @ G @ Q_imu @ G.T @ Phi.T) * dt
 
+    # A masked/no-op sample (dt == 0) must leave EVERYTHING unchanged —
+    # including Phi (the OC projection rewrites rows {0,6,12} from the
+    # *_null states, which differ from the current state right after a
+    # measurement update, so the unguarded dt=0 Phi is NOT the identity)
+    # and the FEJ shadows themselves.
+    stepped = valid & (dt_raw > 0)
+    eye = jnp.eye(21, dtype=dtype)
+    Phi = jnp.where(stepped, Phi, eye)
+    Q = jnp.where(stepped, Q, jnp.zeros_like(Q))
     new_imu = imu._replace(
         q=q_new,
         v=v_new,
         p=p_new,
-        q_null=q_new,
-        v_null=v_new,
-        p_null=p_new,
-        time=jnp.where(valid, t, imu.time),
+        q_null=jnp.where(stepped, q_new, imu.q_null),
+        v_null=jnp.where(stepped, v_new, imu.v_null),
+        p_null=jnp.where(stepped, p_new, imu.p_null),
+        time=jnp.where(stepped, t, imu.time),
     )
     return new_imu, Phi, Q
 

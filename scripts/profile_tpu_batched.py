@@ -60,6 +60,29 @@ def timeit(name, fn, *args, reps=20):
 pyr_f = jax.jit(lambda im: pyramids_for(im, fcfg))
 pyr0p, pyr0c, pyr1c = pyr_f(I0p), pyr_f(I0c), pyr_f(I1c)
 
+# Batched sub-stage costs.
+bimgs = jnp.broadcast_to(I0c, (B,) + I0c.shape)
+bpyr = jax.jit(jax.vmap(lambda im: pyramids_for(im, fcfg)))
+timeit("pyramids (batched, 1 cam)", bpyr, bimgs, reps=10)
+
+from msckf_stereo_c_tpu.ops.fast import detect_grid_corners
+bfast = jax.jit(jax.vmap(lambda im: detect_grid_corners(im, 10.0, 16)))
+timeit("FAST (batched)", bfast, bimgs, reps=10)
+
+from msckf_stereo_c_tpu.ops.klt_gemm import optical_flow_pyr_lk_gemm
+N0 = fcfg.max_features
+rng0 = np.random.default_rng(1)
+bpts = jnp.asarray(rng0.uniform(60, 400, (B, N0, 2)), jnp.float32)
+bklt = jax.jit(
+    jax.vmap(
+        lambda p, g: optical_flow_pyr_lk_gemm(
+            pyr0p, pyr0c, p, g, jnp.ones(N0, bool), 15, 30, 0.01
+        ),
+        in_axes=(0, 0),
+    )
+)
+timeit("KLT gemm (batched)", bklt, bpts, bpts, reps=10)
+
 # Batched frontend (images broadcast, tracker state batched).
 tstate = init_tracker_state(fcfg, jnp.float32)
 btstate = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), tstate)
