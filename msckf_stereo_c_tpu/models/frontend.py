@@ -137,16 +137,28 @@ def _stereo_match(
     params: FrontendParams,
     cfg: FrontendConfig,
     img_shape: Tuple[int, int],
+    guess: jnp.ndarray | None = None,
 ):
     """KLT cam0->cam1 with extrinsic-rotation initial guess + epipolar gate
-    (reference stereoMatch, image_processor.cpp:534-620)."""
+    (reference stereoMatch, image_processor.cpp:534-620).
+
+    ``guess``: optional explicit cam1 initial positions (e.g. carried
+    disparity for surviving tracks); when given, only the finest pyramid
+    levels are searched — the guess is already within a couple of pixels,
+    and the coarse levels exist to absorb the unknown stereo disparity
+    (reference seeds cam1_points the same way when non-empty,
+    image_processor.cpp:540-548)."""
     H, W = img_shape
-    # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
-    xn = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
-    guess = distort_points(xn, params.K1, params.D1, model=cfg.distortion_model1)
+    if guess is None:
+        # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
+        xn = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
+        guess = distort_points(xn, params.K1, params.D1, model=cfg.distortion_model1)
+        levels0, levels1 = pyr0, pyr1
+    else:
+        levels0, levels1 = pyr0[:2], pyr1[:2]
     klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
     res = klt(
-        pyr0, pyr1, pts0, guess, valid,
+        levels0, levels1, pts0, guess, valid,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
     )
     pts1 = res.pts
@@ -301,9 +313,13 @@ def frontend_step(
     tracked = tracked & (tracked_pts0[:, 1] >= 0) & (tracked_pts0[:, 1] <= H - 1)
     after_tracking = jnp.sum(tracked)
 
-    # --- Stereo match on the current pair. ---
+    # --- Stereo match on the current pair.  Surviving tracks carry their
+    # previous disparity as the cam1 guess (within ~1 px frame to frame),
+    # so their stereo KLT needs only the finest two levels. ---
+    disparity_guess = tracked_pts0 + (state.pts1 - state.pts0)
     pts1, matched = _stereo_match(
-        pyr0_curr, pyr1_curr, tracked_pts0, tracked, params, cfg, img_shape
+        pyr0_curr, pyr1_curr, tracked_pts0, tracked, params, cfg, img_shape,
+        guess=disparity_guess,
     )
     after_matching = jnp.sum(matched)
 

@@ -34,9 +34,11 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     H, W = img.shape
     dtype = img.dtype
 
-    # 16 shifted copies: shifted[i][y, x] = img[y + dy_i, x + dx_i].
+    # 16 shifted views via pad + static slices: XLA fuses these into the
+    # elementwise consumer (jnp.roll would materialize 16 image copies).
+    padded = jnp.pad(img, 3)
     shifted = jnp.stack(
-        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in _CIRCLE]
+        [padded[3 + int(dy) : 3 + int(dy) + H, 3 + int(dx) : 3 + int(dx) + W] for dy, dx in _CIRCLE]
     )  # (16, H, W)
 
     diff = shifted - img[None]
