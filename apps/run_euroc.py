@@ -26,13 +26,17 @@ def main():
     ap.add_argument("--out", default="pose_out.txt")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
-    ap.add_argument("--method", default="qr", choices=["qr", "cholesky"])
+    ap.add_argument("--method", default="schur", choices=["qr", "cholesky", "schur"])
     ap.add_argument("--camchain", default=None)
     ap.add_argument("--imgproc-config", default=None)
     ap.add_argument("--msckf-config", default=None)
     ap.add_argument("--f64", action="store_true", help="run the filter in float64")
     ap.add_argument("--ate", action="store_true", help="evaluate ATE against ground truth")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--debug-dump", default=None,
+        help="write per-frame tracking counters (the reference's debug_imageprocessor.txt)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -74,9 +78,8 @@ def main():
     all_res = []
     from msckf_stereo_c_tpu.models.vio import VioResult  # noqa: F401
 
-    # Decode everything up front if small, else chunked decode.
+    # Chunked decode + run.
     c = args.chunk
-    res = None
     for s0 in range(0, len(times), c):
         s1 = min(s0 + c, len(times))
         imgs0 = load_images(files0[s0:s1])
@@ -100,6 +103,16 @@ def main():
     pos = np.concatenate([r.positions for r in all_res])
     quat = np.concatenate([r.quats_xyzw for r in all_res])
     write_tum(args.out, times_out, pos, quat)
+    if args.debug_dump:
+        # TrackingInfo counters per frame (reference image_processor.cpp:1174-1179).
+        with open(args.debug_dump, "w") as f:
+            f.write("# time before_tracking after_tracking after_matching after_ransac\n")
+            bt = np.concatenate([r.tracking["before_tracking"] for r in all_res])
+            at = np.concatenate([r.tracking["after_tracking"] for r in all_res])
+            am = np.concatenate([r.tracking["after_matching"] for r in all_res])
+            ar = np.concatenate([r.tracking["after_ransac"] for r in all_res])
+            for i in range(len(times_out)):
+                f.write(f"{times_out[i]:.6f} {bt[i]} {at[i]} {am[i]} {ar[i]}\n")
     wall = time.time() - t_start
     print(f"wrote {args.out}; {len(times)} frames in {wall:.1f}s = {len(times)/wall:.1f} fps")
 

@@ -370,3 +370,21 @@ def uv_dtype(state: TrackerState):
 
 def pyramids_for(img: jnp.ndarray, cfg: FrontendConfig):
     return tuple(build_pyramid(img, cfg.pyramid_levels))
+
+
+def feature_lifetime_statistics(state: TrackerState):
+    """Lifetime statistics over the live pool (the reference's disabled
+    featureLifetimeStatistics, image_processor.cpp:1184-1211, kept for the
+    same diagnostic purpose)."""
+    import numpy as np
+
+    lt = np.asarray(state.lifetime)[np.asarray(state.fid) >= 0]
+    if lt.size == 0:
+        return {"count": 0}
+    return {
+        "count": int(lt.size),
+        "mean": float(lt.mean()),
+        "median": float(np.median(lt)),
+        "max": int(lt.max()),
+        "histogram": np.bincount(lt).tolist(),
+    }

@@ -33,8 +33,12 @@ _SEARCH_RADIUS = 9
 # Compute dtype for the resampling GEMMs ("float32" or "bfloat16"): bf16
 # halves MXU time; sampling error ~0.4% of dynamic range, accumulation in
 # f32 (preferred_element_type).  Accuracy impact is validated by the e2e
-# ATE gates before flipping the default.
-_COMPUTE_DTYPE = jnp.float32
+# ATE gates before flipping the default (MSCKF_KLT_BF16=1 opts in).
+import os as _os
+
+_COMPUTE_DTYPE = (
+    jnp.bfloat16 if _os.environ.get("MSCKF_KLT_BF16", "0") == "1" else jnp.float32
+)
 
 
 def _sample(Wy, patch, Wx):
