@@ -55,6 +55,11 @@ class FrontendConfig:
     # Temporal 2-pt RANSAC (reference ships the solver with its call sites
     # commented out, image_processor.cpp:482-493 — default off for parity).
     ransac_enabled: bool = False
+    # Pyramid levels searched by the temporal (prev->curr) KLT.  The
+    # reference always uses all 4; with IMU-seeded guesses the coarse
+    # levels are usually redundant — lowering this trades robustness to
+    # aggressive un-modeled translation for throughput.
+    temporal_levels: int = 4
 
     @property
     def num_grids(self) -> int:

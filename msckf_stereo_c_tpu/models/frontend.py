@@ -303,8 +303,9 @@ def frontend_step(
 
     active = state.fid >= 0
     klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
+    tl = max(1, min(cfg.temporal_levels, len(pyr0_prev)))
     res = klt(
-        pyr0_prev, pyr0_curr, state.pts0, guess, active,
+        pyr0_prev[:tl], pyr0_curr[:tl], state.pts0, guess, active,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
     )
     tracked_pts0 = res.pts
