@@ -33,7 +33,12 @@ def main():
     from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
     from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
-    fcfg = FrontendConfig()
+    # IMU-seeded temporal tracking needs only the finest 2 pyramid levels
+    # (validated by the ATE side-channel printed below; BENCH_TEMPORAL_LEVELS
+    # to override).
+    fcfg = FrontendConfig(
+        temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "2"))
+    )
     mcfg = FilterConfig()
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
 
