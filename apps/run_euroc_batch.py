@@ -27,9 +27,13 @@ def main():
     ap.add_argument("--method", default="schur")
     ap.add_argument("--ate", action="store_true")
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     args = ap.parse_args()
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

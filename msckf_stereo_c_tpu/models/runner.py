@@ -66,12 +66,22 @@ def pack_imu_batches(
 
 def apply_gravity_init(state: FilterState, gyro_window, acc_window) -> FilterState:
     """Set q0/bias/gravity from a static IMU window
-    (reference initializeGravityAndBias, msckf_vio.cpp:209-241)."""
-    q0, bg, gravity = initialize_gravity_bias(
-        jnp.asarray(gyro_window, state.P.dtype), jnp.asarray(acc_window, state.P.dtype)
+    (reference initializeGravityAndBias, msckf_vio.cpp:209-241).
+
+    jitted: eager per-primitive dispatch costs seconds apiece through this
+    environment's remote compile helper."""
+
+    @jax.jit
+    def _init(state, gyro, acc):
+        q0, bg, gravity = initialize_gravity_bias(gyro, acc)
+        imu = state.imu._replace(q=q0, bg=bg, q_null=q0)
+        return state._replace(imu=imu, gravity=gravity)
+
+    return _init(
+        state,
+        jnp.asarray(gyro_window, state.P.dtype),
+        jnp.asarray(acc_window, state.P.dtype),
     )
-    imu = state.imu._replace(q=q0, bg=bg, q_null=q0)
-    return state._replace(imu=imu, gravity=gravity)
 
 
 @dataclasses.dataclass
