@@ -1,0 +1,39 @@
+"""Fast-motion stress (the V1_02/V1_03 analog, BASELINE.json config 2):
+aggressive angular rate + faster orbit; the full pipeline must keep tracking
+and the filter must stay within a loosened ATE bound with the
+reference-faithful 4-level temporal KLT."""
+import numpy as np
+import pytest
+
+from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig, FrontendConfig
+from msckf_stereo_c_tpu.io import evaluate_ate
+from msckf_stereo_c_tpu.models.vio import run_vio_sequence
+from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
+from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
+
+
+@pytest.mark.parametrize("temporal_levels,ate_bound", [(2, 0.13), (4, 0.25)])
+def test_fast_motion_pipeline(temporal_levels, ate_bound):
+    traj = make_circle_trajectory(
+        duration=6.0, omega=2.0 * np.pi / 8.0, roll_amp=0.25, t_static=1.5, t_ramp=1.0
+    )
+    landmarks = make_wall_landmarks(num=500, radius=8.0, seed=1)
+    imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
+    frame_idx = np.arange(0, traj.t.shape[0], 10)
+    img0, img1 = render_stereo_sequence(traj, landmarks, frame_idx, r_wall=8.0)
+
+    fcfg = FrontendConfig(max_features=64, temporal_levels=temporal_levels)
+    mcfg = FilterConfig(max_cam_state_size=8, max_tracks=80, max_imu_per_frame=12)
+    res = run_vio_sequence(
+        fcfg, mcfg, EUROC_CALIB,
+        traj.t[frame_idx], img0, img1,
+        imu.t, imu.gyro, imu.acc, method="schur", chunk=40,
+    )
+    # Tracking must not collapse during the fast segment.
+    assert res.tracking["after_ransac"][-20:].min() > 15
+    ate = evaluate_ate(res.times, res.positions, traj.t[frame_idx], traj.p[frame_idx])
+    # 2-level (default): within the reference's 0.13 m bar even under fast
+    # motion.  4-level (reference-style full pyramid): measurably worse here
+    # because coarse search windows alias onto neighboring features — the
+    # reason temporal_levels defaults to 2 (see FrontendConfig).
+    assert ate.rmse < ate_bound, f"fast-motion ATE {ate.rmse} (levels={temporal_levels})"
