@@ -29,10 +29,11 @@ import jax.numpy as jnp
 from .klt import KltResult, _MIN_EIG_THRESHOLD
 from .linalg import solve2x2
 
-# Search radius beyond the window per level.  IMU/disparity-seeded guesses
-# keep per-level corrections within ~2-3 px; 5 px margin is ample and the
-# resampling cost scales with (win + 2R)^2 on the VPU.
-_SEARCH_RADIUS = 5
+# Search radius beyond the window per level.  Radius 5 was measured
+# throughput-neutral but broke the fast-motion ATE gate (level-1 residual
+# corrections exceed 5 px when un-modeled translation is large); 9 keeps
+# the reference-like basin with no measured cost.
+_SEARCH_RADIUS = 9
 # Compute dtype for the resampling GEMMs ("float32" or "bfloat16"): bf16
 # halves MXU time; sampling error ~0.4% of dynamic range, accumulation in
 # f32 (preferred_element_type).  Accuracy impact is validated by the e2e
