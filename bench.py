@@ -67,7 +67,7 @@ def main():
     # vmapped on the one chip (the engine's throughput axis — multi-run
     # EuRoC evaluation; BASELINE.json config 3).  Image/IMU tensors are
     # shared (broadcast); states are per-sequence.
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
 
     from msckf_stereo_c_tpu.models.vio import vio_step
 

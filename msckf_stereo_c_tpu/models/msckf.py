@@ -286,27 +286,36 @@ def filter_step(
     cfg: FilterConfig,
     method: str = "qr",
 ):
-    """One full frame of the back-end.  jit/scan-able."""
-    # First frame: the filter time origin is the first image timestamp
-    # (featureCallback, msckf_vio.cpp:314-317).
-    first = state.next_sid == 0
-    state = state._replace(
-        imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
-    )
+    """One full frame of the back-end.  jit/scan-able.
 
-    state = propagate(state, imu, params.Q_imu)
-    state = augment_state(state, frame.time)
-    state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
-    state = _remove_lost_features(state, params, method, cfg.max_update_tracks)
-    state = jax.lax.cond(
-        state.num_cams >= cfg.max_cam_state_size,
-        lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks),
-        lambda s: s,
-        state,
-    )
-    out = _publish(state, frame.time, params)
-    state = _online_reset(state, params)
-    return state, out
+    All filter-side matmuls are pinned to full f32 precision: the MXU's
+    default f32 matmul uses bf16 passes whose rounding depends on how XLA
+    tiles the batch, which both degraded accuracy (TPU ATE 0.022 vs CPU
+    0.004 on the bench scene) and made it batch-size dependent (B=16
+    regressed to 0.14 with bit-identical lanes diverging).  The filter's
+    matrices are tiny (<=D^2 with D~141), so HIGHEST precision is free;
+    the image-plane GEMMs in the front-end keep the fast default."""
+    with jax.default_matmul_precision("float32"):
+        # First frame: the filter time origin is the first image timestamp
+        # (featureCallback, msckf_vio.cpp:314-317).
+        first = state.next_sid == 0
+        state = state._replace(
+            imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
+        )
+
+        state = propagate(state, imu, params.Q_imu)
+        state = augment_state(state, frame.time)
+        state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+        state = _remove_lost_features(state, params, method, cfg.max_update_tracks)
+        state = jax.lax.cond(
+            state.num_cams >= cfg.max_cam_state_size,
+            lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks),
+            lambda s: s,
+            state,
+        )
+        out = _publish(state, frame.time, params)
+        state = _online_reset(state, params)
+        return state, out
 
 
 def init_state(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> FilterState:
