@@ -70,6 +70,15 @@ def main():
         times, files0, files1 = times[: args.max_frames], files0[: args.max_frames], files1[: args.max_frames]
     print(f"{len(times)} stereo frames, {len(seq.imu.t)} IMU samples")
 
+    # Rebase timestamps to the sequence start BEFORE they are cast to the
+    # device dtype: absolute EuRoC epoch times (~1.4e9 s) have a float32
+    # resolution of ~128 s, which collapses the 0.05 s frame spacing to
+    # zero (no propagation, constant output).  Absolute times are restored
+    # for the TUM output / ATE association below.
+    t_base = float(min(times[0], seq.imu.t[0]))
+    times = times - t_base
+    imu_t = seq.imu.t - t_base
+
     filter_dtype = jnp.float64 if args.f64 else jnp.float32
 
     # Stream decode + run in chunks to bound host memory.
@@ -87,7 +96,7 @@ def main():
         r = run_vio_sequence(
             fcfg, mcfg, calib,
             times[s0:s1], imgs0, imgs1,
-            seq.imu.t, seq.imu.gyro, seq.imu.acc,
+            imu_t, seq.imu.gyro, seq.imu.acc,
             filter_dtype=filter_dtype,
             method=args.method,
             state=state,
@@ -99,7 +108,9 @@ def main():
 
     import numpy as np
 
-    times_out = np.concatenate([r.times for r in all_res])
+    # float64 BEFORE re-adding the epoch base (f32 + big python float stays
+    # f32 under NumPy's weak promotion and would re-collapse the spacing).
+    times_out = np.concatenate([r.times for r in all_res]).astype(np.float64) + t_base
     pos = np.concatenate([r.positions for r in all_res])
     quat = np.concatenate([r.quats_xyzw for r in all_res])
     write_tum(args.out, times_out, pos, quat)

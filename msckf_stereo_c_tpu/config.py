@@ -258,6 +258,8 @@ def load_frontend_config(path: str) -> FrontendConfig:
         track_precision=float(node.get("track_precision", base.track_precision)),
         ransac_threshold=float(node.get("ransac_threshold", base.ransac_threshold)),
         stereo_threshold=float(node.get("stereo_threshold", base.stereo_threshold)),
+        klt_impl=str(node.get("klt_impl", base.klt_impl)),
+        temporal_levels=int(node.get("temporal_levels", base.temporal_levels)),
     )
 
 

@@ -24,10 +24,27 @@ from ..config import FrontendConfig, StereoCalib
 from ..ops.camera import distort_points, undistort_points
 from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
+from ..ops.klt_corr import optical_flow_pyr_lk_corr
 from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
+
 from ..ops.pyramid import build_pyramid
 from ..ops.ransac import two_point_ransac
 from ..utils.lie import skew, so3_exp
+
+_KLT_IMPLS = {
+    "gemm": optical_flow_pyr_lk_gemm,
+    "corr": optical_flow_pyr_lk_corr,
+    "gather": optical_flow_pyr_lk,
+}
+
+
+def _klt_fn(name: str):
+    try:
+        return _KLT_IMPLS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown klt_impl {name!r}; choose from {sorted(_KLT_IMPLS)}"
+        ) from None
 
 
 class TrackerState(NamedTuple):
@@ -156,7 +173,7 @@ def _stereo_match(
         levels0, levels1 = pyr0, pyr1
     else:
         levels0, levels1 = pyr0[:2], pyr1[:2]
-    klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
+    klt = _klt_fn(cfg.klt_impl)
     res = klt(
         levels0, levels1, pts0, guess, valid,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
@@ -302,7 +319,7 @@ def frontend_step(
     guess = warped[:, :2] / warped[:, 2:3]
 
     active = state.fid >= 0
-    klt = optical_flow_pyr_lk_gemm if cfg.klt_impl == "gemm" else optical_flow_pyr_lk
+    klt = _klt_fn(cfg.klt_impl)
     tl = max(1, min(cfg.temporal_levels, len(pyr0_prev)))
     res = klt(
         pyr0_prev[:tl], pyr0_curr[:tl], state.pts0, guess, active,

@@ -1,0 +1,358 @@
+"""Pyramidal Lucas–Kanade via precomputed correlation surfaces — TPU fast path.
+
+The GEMM formulation (``klt_gemm.py``) resamples the search patch every LK
+iteration with batched ``(N,P,S)@(N,S,S)@(N,S,P)`` einsums — per-feature
+matrices far too small for the MXU, so XLA lowers them to serialized VPU
+loops and the 30-iteration loop dominates the front-end (~12 ms at B=8).
+
+Key identity: the LK right-hand side is *linear* in the sampled patch,
+
+    b_x(f) = sum_ij (templ - patch(f))_ij * gx_ij
+           = sum templ*gx  -  sum_ij gx_ij * bilinear(search, f + (i,j))
+
+and bilinear sampling is itself linear in the search-patch pixels with
+weights supported on integer shifts.  Therefore
+
+    b_x(f) = tgx - bilinear_interp(Cx, f),
+    Cx[u, v] = sum_ij gx[i, j] * search[u + i, v + j]
+
+with Cx a one-time (K, K) cross-correlation of the (fixed, inverse-
+compositional) template gradient with the search patch, K = S - P + 1.
+The same holds for b_y with Cy.  This is *exact* (up to fp reassociation):
+the entire iteration loop reduces to tent-weight construction + masked
+reductions over (N, K, K) arrays — pure fused elementwise VPU work, no
+per-feature matmuls, no data-dependent memory access.
+
+The correlation surfaces are computed once per level as a depthwise
+convolution (features = channels, 2 filters per channel: gx and gy).
+
+Semantics match ``klt_gemm.py`` step for step (same clamped window walk,
+same convergence test, same validity rules); equivalence is asserted in
+tests.  Replaces vikit's ``optical_flow_multi_level``
+(image_processor.cpp:410,569) like the other two implementations.
+"""
+from __future__ import annotations
+
+import functools as _functools
+import os as _os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .klt import KltResult, _MIN_EIG_THRESHOLD
+from .klt_gemm import _SEARCH_RADIUS, _extract_patches, _sample, _tent_weights
+from .linalg import solve2x2
+
+# Iteration-loop backend: "auto" = Pallas on TPU / XLA while_loop elsewhere;
+# "xla" forces the while_loop; "interpret" runs the Pallas kernel in
+# interpreter mode (CPU equivalence tests).
+_LOOP_MODE = _os.environ.get("MSCKF_KLT_CORR_LOOP", "auto")
+
+
+def _corr_surfaces(spatch: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, P: int):
+    """(N, K, K) cross-correlations of gx/gy with each search patch.
+
+    Depthwise conv: each feature is a channel, with two filters (gx, gy).
+    """
+    N, S, _ = spatch.shape
+    lhs = spatch[None]  # (1, N, S, S)  NCHW
+    rhs = jnp.stack([gx, gy], axis=1).reshape(2 * N, 1, P, P)  # OIHW
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=N,
+        preferred_element_type=spatch.dtype,
+    )  # (1, 2N, K, K)
+    K = S - P + 1
+    out = out.reshape(N, 2, K, K)
+    return out[:, 0], out[:, 1]
+
+
+def _iter_kernel_factory(KK_pad: int, K: int, iters: int, eps: float, hi: float):
+    """One Pallas program runs the whole LK iteration loop for all N features:
+    pure elementwise VPU work on (N, K*K) arrays, batch-wide early exit.
+
+    Lane padding safety: for padded columns uv >= K*K, U = uv // K >= K > hi+1
+    so the tent weight is exactly zero (and the padded C columns are zero)."""
+
+    def kernel(sc_ref, cx_ref, cy_ref, out_ref):
+        f32 = jnp.float32
+        uv = jax.lax.broadcasted_iota(jnp.int32, (1, KK_pad), 1)
+        U = (uv // K).astype(f32)
+        V = (uv % K).astype(f32)
+
+        gxx = sc_ref[:, 0:1]
+        gxy = sc_ref[:, 1:2]
+        gyy = sc_ref[:, 2:3]
+        tgx = sc_ref[:, 3:4]
+        tgy = sc_ref[:, 4:5]
+        f0x = sc_ref[:, 5:6]
+        f0y = sc_ref[:, 6:7]
+        conv0 = sc_ref[:, 7:8]
+
+        det = gxx * gyy - gxy * gxy
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        cx = cx_ref[:, :]
+        cy = cy_ref[:, :]
+
+        def cond(carry):
+            _, _, conv, it = carry
+            return (it < iters) & (jnp.min(conv) < 0.5)
+
+        def body(carry):
+            fx, fy, conv, it = carry
+            fxs = jnp.clip(fx, 0.0, hi)
+            fys = jnp.clip(fy, 0.0, hi)
+            w2 = jnp.maximum(0.0, 1.0 - jnp.abs(U - fys)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(V - fxs)
+            )
+            bx = tgx - jnp.sum(w2 * cx, axis=1, keepdims=True)
+            by = tgy - jnp.sum(w2 * cy, axis=1, keepdims=True)
+            dx = (gyy * bx - gxy * by) * inv_det
+            dy = (-gxy * bx + gxx * by) * inv_det
+            nfx = jnp.clip(fx + dx, 0.0, hi)
+            nfy = jnp.clip(fy + dy, 0.0, hi)
+            now = (jnp.sqrt(dx * dx + dy * dy) < eps).astype(f32)
+            frozen = conv > 0.5
+            fx = jnp.where(frozen, fx, nfx)
+            fy = jnp.where(frozen, fy, nfy)
+            return (fx, fy, jnp.maximum(conv, now), it + 1)
+
+        fx, fy, _, _ = jax.lax.while_loop(
+            cond, body, (f0x, f0y, conv0, jnp.zeros((), jnp.int32))
+        )
+        out_ref[:, 0:1] = fx
+        out_ref[:, 1:2] = fy
+
+    return kernel
+
+
+@_functools.lru_cache(maxsize=None)
+def _iterate_fn(K: int, iters: int, eps: float, hi: float, interpret: bool):
+    """Returns run(sc (N,8), cxf (N,K*K), cyf (N,K*K)) -> f (N,2).
+
+    ``custom_vmap`` folds any outer batch into the feature axis, so the whole
+    (B, N) problem runs as ONE kernel program rather than a sequential
+    per-sequence grid (a vmap-induced grid serializes on the single tensor
+    core)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(sc, cxf, cyf):
+        N = sc.shape[0]
+        KK_pad = -(-(K * K) // 128) * 128
+        # Chunk the feature axis so each program's buffers + loop
+        # temporaries stay well under the 16 MB VMEM budget.
+        CHUNK = 512
+        Np = -(-N // 8) * 8 if N <= CHUNK else -(-N // CHUNK) * CHUNK
+        blk = min(Np, CHUNK)
+        if Np != N:
+            pad_sc = jnp.zeros((Np - N, 8), sc.dtype).at[:, 7].set(1.0)
+            sc = jnp.concatenate([sc, pad_sc], axis=0)
+        if KK_pad != K * K or Np != N:
+            cxf = jnp.pad(cxf, ((0, Np - N), (0, KK_pad - K * K)))
+            cyf = jnp.pad(cyf, ((0, Np - N), (0, KK_pad - K * K)))
+        out = pl.pallas_call(
+            _iter_kernel_factory(KK_pad, K, iters, eps, hi),
+            grid=(Np // blk,),
+            out_shape=jax.ShapeDtypeStruct((Np, 2), sc.dtype),
+            in_specs=[
+                pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, KK_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, KK_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(sc, cxf, cyf)
+        return out[:N]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, sc, cxf, cyf):
+        args = []
+        for x, b in zip((sc, cxf, cyf), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x.reshape((-1,) + x.shape[2:]))
+        out = run(*args)
+        return out.reshape(axis_size, -1, 2), True
+
+    return run
+
+
+def _iterate_pallas(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, hi, interpret):
+    """Run the LK iterations as one kernel.  Returns f (N, 2)."""
+    N, K, _ = Cx.shape
+    sc = jnp.stack(
+        [
+            G[:, 0, 0],
+            G[:, 0, 1],
+            G[:, 1, 1],
+            tgx,
+            tgy,
+            f0[:, 0],
+            f0[:, 1],
+            conv0.astype(Cx.dtype),
+        ],
+        axis=-1,
+    )  # (N, 8)
+    run = _iterate_fn(K, iters, float(eps), float(hi), interpret)
+    return run(sc, Cx.reshape(N, K * K), Cy.reshape(N, K * K))
+
+
+def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, final_level):
+    """One pyramid level for all N features (batched)."""
+    dtype = img_prev.dtype
+    H, W = img_prev.shape
+    P = win
+    S = min(win + 2 * _SEARCH_RADIUS + 2, H, W)
+
+    mode = _LOOP_MODE
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    interp = mode == "interpret"
+
+    # --- Template + gradients (one-time cost).
+    T = P + 4
+    if S < P + 2 or min(H, W) < T:
+        return pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
+    if mode in ("pallas", "interpret"):
+        # Extract the patch at origin floor(pts - (P+1)/2) so the fractional
+        # offset lies in [0,1): bilinear needs only 4 static slices (no
+        # tent-weight matmuls).  Samples the same positions as the tent path
+        # for interior features; within (P+1)/2 px of the border the offset
+        # is clamped to the nearest valid sample (such features are rejected
+        # by the final-level bounds check anyway).
+        Tq = P + 3
+        torg = jnp.clip(
+            jnp.floor(pts_prev) - (P + 1) // 2,
+            0,
+            jnp.array([W - Tq, H - Tq], dtype),
+        )
+        torg_i = torg.astype(jnp.int32)
+        tpatch = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(img_prev, (o[1], o[0]), (Tq, Tq))
+        )(torg_i)
+        a = jnp.clip(pts_prev - (P + 1) / 2.0 - torg, 0.0, 1.0)
+        ax = a[:, 0][:, None, None]
+        ay = a[:, 1][:, None, None]
+        q = P + 2
+        sp = (
+            tpatch[:, :q, :q] * (1 - ax) * (1 - ay)
+            + tpatch[:, :q, 1 : q + 1] * ax * (1 - ay)
+            + tpatch[:, 1 : q + 1, :q] * (1 - ax) * ay
+            + tpatch[:, 1 : q + 1, 1 : q + 1] * ax * ay
+        )  # (N, P+2, P+2)
+    else:
+        tpatch, torg = _extract_patches(img_prev, pts_prev, T)
+        first = pts_prev - (P + 1) / 2.0 - torg
+        Wy_t = _tent_weights(first[:, 1], P + 2, T, dtype)
+        Wx_t = _tent_weights(first[:, 0], P + 2, T, dtype)
+        sp = _sample(Wy_t, tpatch, Wx_t)  # (N, P+2, P+2)
+    templ = sp[:, 1:-1, 1:-1]
+    gx = 0.5 * (sp[:, 1:-1, 2:] - sp[:, 1:-1, :-2])
+    gy = 0.5 * (sp[:, 2:, 1:-1] - sp[:, :-2, 1:-1])
+
+    gxx = jnp.sum(gx * gx, (-2, -1))
+    gxy = jnp.sum(gx * gy, (-2, -1))
+    gyy = jnp.sum(gy * gy, (-2, -1))
+    G = jnp.stack(
+        [jnp.stack([gxx, gxy], -1), jnp.stack([gxy, gyy], -1)], -2
+    )  # (N, 2, 2)
+    tr = gxx + gyy
+    det = gxx * gyy - gxy * gxy
+    disc = jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    min_eig = (0.5 * tr - disc) / (P * P)
+    good = min_eig > _MIN_EIG_THRESHOLD
+
+    tgx = jnp.sum(templ * gx, (-2, -1))  # (N,)
+    tgy = jnp.sum(templ * gy, (-2, -1))
+
+    # --- Search patch around the initial guess + correlation surfaces.
+    spatch, sorg = _extract_patches(img_curr, pts_curr0, S)
+    Cx, Cy = _corr_surfaces(spatch, gx, gy, P)  # (N, K, K)
+    K = S - P + 1
+
+    lo = jnp.asarray(0.0, dtype)
+    hi = jnp.asarray(S - P - 1.0, dtype)
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(dtype)  # (1, K)
+
+    # Window-origin coordinates: f = pts - (P-1)/2 - sorg.  Carried
+    # *unclipped* (matching klt_gemm: the initial guess may sit outside the
+    # search range near image borders; sampling clamps, the first update
+    # re-enters the range).
+    c_off = (P - 1) / 2.0
+    f0 = pts_curr0 - c_off - sorg  # (N, 2) [fx, fy]
+
+    if mode in ("pallas", "interpret"):
+        f = _iterate_pallas(
+            Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, float(S - P - 1),
+            interpret=(mode == "interpret"),
+        )
+    else:
+
+        def cond(carry):
+            _, converged, it = carry
+            return (it < iters) & ~jnp.all(converged)
+
+        def body(carry):
+            f, converged, it = carry
+            fx = jnp.clip(f[:, 0], lo, hi)
+            fy = jnp.clip(f[:, 1], lo, hi)
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fx[:, None]))  # (N, K)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fy[:, None]))
+            w2 = wy[:, :, None] * wx[:, None, :]  # (N, K, K)
+            bx = tgx - jnp.sum(w2 * Cx, (-2, -1))
+            by = tgy - jnp.sum(w2 * Cy, (-2, -1))
+            delta = solve2x2(G, jnp.stack([bx, by], -1))
+            # delta applies to the carried (possibly unclipped) f, then the
+            # new iterate is clamped into the search range — klt_gemm order.
+            new_f = jnp.clip(f + delta, lo, hi)
+            now_conv = jnp.linalg.norm(delta, axis=-1) < eps
+            f = jnp.where(converged[:, None], f, new_f)
+            return (f, converged | now_conv, it + 1)
+
+        f, _, _ = jax.lax.while_loop(cond, body, (f0, ~good, jnp.zeros((), jnp.int32)))
+
+    pts = f + c_off + sorg
+
+    if not final_level:
+        return pts, jnp.ones(pts.shape[0], bool)
+
+    r = win // 2 + 1
+    inb = (pts[:, 0] >= r) & (pts[:, 0] < W - r) & (pts[:, 1] >= r) & (pts[:, 1] < H - r)
+    inb = inb & (pts_prev[:, 0] >= r) & (pts_prev[:, 0] < W - r)
+    inb = inb & (pts_prev[:, 1] >= r) & (pts_prev[:, 1] < H - r)
+    return pts, good & inb
+
+
+def optical_flow_pyr_lk_corr(
+    pyr_prev: Sequence[jnp.ndarray],
+    pyr_curr: Sequence[jnp.ndarray],
+    pts_prev: jnp.ndarray,
+    pts_curr_init: jnp.ndarray,
+    valid_in: jnp.ndarray,
+    win: int = 15,
+    iters: int = 30,
+    eps: float = 0.01,
+) -> KltResult:
+    """Drop-in replacement for klt.optical_flow_pyr_lk (same semantics)."""
+    L = len(pyr_prev)
+    scale = 2.0 ** (L - 1)
+    pts = pts_curr_init / scale
+    valid = valid_in
+
+    for lvl in range(L - 1, -1, -1):
+        s = 2.0**lvl
+        pts, ok = _track_level_corr(
+            pyr_prev[lvl], pyr_curr[lvl], pts_prev / s, pts, win, iters, eps, lvl == 0
+        )
+        valid = valid & ok
+        if lvl > 0:
+            pts = pts * 2.0
+
+    return KltResult(pts=pts, valid=valid)
