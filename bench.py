@@ -37,7 +37,8 @@ def main():
     # (validated by the ATE side-channel printed below; BENCH_TEMPORAL_LEVELS
     # to override).
     fcfg = FrontendConfig(
-        temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "2"))
+        temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "2")),
+        klt_impl=os.environ.get("BENCH_KLT", FrontendConfig.klt_impl),
     )
     mcfg = FilterConfig()
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
@@ -71,19 +72,24 @@ def main():
 
     from msckf_stereo_c_tpu.models.vio import vio_step
 
-    def seq_scan(state):
+    # The frame tensors must be jit ARGUMENTS (broadcast via in_axes=None),
+    # not closure captures: closed-over arrays are embedded as constants in
+    # the serialized HLO (~2.9 MB/frame), which breaks remote-compile setups
+    # and bloats compile time.
+    def seq_scan(state, i0s, i1s, ts, bs):
         def step(s, xs):
             i0, i1, t, b = xs
             return vio_step(s, i0, i1, t, b, fparams, mparams, fcfg, mcfg, method)
 
-        return jax.lax.scan(step, state, (d_img0, d_img1, d_t, batches))
+        return jax.lax.scan(step, state, (i0s, i1s, ts, bs))
 
-    run_batched = jax.jit(jax.vmap(seq_scan))
+    run_batched = jax.jit(jax.vmap(seq_scan, in_axes=(0, None, None, None, None)))
     states0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0)
+    d_batches = jax.tree.map(jnp.asarray, batches)
 
     # Warmup/compile.
     t0 = time.time()
-    state, (pose, _) = run_batched(states0)
+    state, (pose, _) = run_batched(states0, d_img0, d_img1, d_t, d_batches)
     jax.block_until_ready(pose.p)
     compile_time = time.time() - t0
 
