@@ -96,7 +96,7 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(reps):
-        state, (pose, _) = run_batched(states0)
+        state, (pose, _) = run_batched(states0, d_img0, d_img1, d_t, d_batches)
     jax.block_until_ready(pose.p)
     dt = (time.time() - t0) / reps
 

@@ -46,9 +46,12 @@ class FrontendConfig:
     # Per-cell candidate budget for the FAST detector's occupancy grid
     # (vikit CornerDetector(30, 47, thr): ~16 px cells for 752x480).
     detector_cell: int = 16
-    # KLT implementation: "gemm" (matmul-resampling TPU fast path) or
-    # "gather" (reference bilinear-gather path).
-    klt_impl: str = "gemm"
+    # KLT implementation: "corr" (correlation-surface + Pallas iteration
+    # loop, the TPU fast path), "gemm" (matmul-resampling), or "gather"
+    # (reference bilinear-gather path).  All three are semantically
+    # equivalent (tested); measured on v5e at B=16: corr 251 fps vs
+    # gemm 239 fps full-pipeline.
+    klt_impl: str = "corr"
     # Lens models (static for jit; set from the camchain by the drivers).
     distortion_model0: str = "radtan"
     distortion_model1: str = "radtan"

@@ -24,10 +24,13 @@ from .pruning import compact_after_removal, find_redundant_cam_slots
 from .state import FilterState, continuous_noise_cov, init_filter_state, initial_cov_diag
 from .triangulation import check_motion_tracks, triangulate_tracks
 from .update import (
+    cam_cov_blocks,
     gating_scores,
     measurement_update,
     measurement_update_schur,
+    measurement_update_schur_compact,
     schur_gating,
+    schur_gating_compact,
     track_blocks,
     track_jacobians,
 )
@@ -101,6 +104,7 @@ def _gate_and_update(
     use,
     dof,
     max_update: int = 0,
+    cam_idx=None,
 ) -> FilterState:
     """Chi-square gate + compressed EKF update over the selected tracks.
 
@@ -113,7 +117,12 @@ def _gate_and_update(
     any Jacobian work (only ~10-20 tracks finish per frame; computing
     gating Cholesky lanes for the whole pool is wasted work).  Overflow
     candidates are dropped from the update only — their map entries are
-    handled by the caller exactly as if gated out."""
+    handled by the caller exactly as if gated out.
+
+    ``cam_idx`` (schur only): (Mc,) camera slots when every used
+    observation lives in those slots (the 2-slot prune update).  The whole
+    gate+update then runs camera-compacted — (4Mc, 4Mc) gating systems and
+    a rank-6Mc EKF update — exactly equivalent to the full-width path."""
     if max_update and max_update < use.shape[0]:
         order = jnp.argsort(~use)  # stable: selected tracks first
         idx = order[:max_update]
@@ -124,10 +133,23 @@ def _gate_and_update(
         dof = dof[idx]
 
     if method == "schur":
+        cams = state.cams
+        if cam_idx is not None:
+            cams = cams._replace(
+                q=cams.q[cam_idx], p=cams.p[cam_idx],
+                q_null=cams.q_null[cam_idx], p_null=cams.p_null[cam_idx],
+            )
         blocks = track_blocks(
-            pos, obs, obs_mask, state.cams, state.gravity,
+            pos, obs, obs_mask, cams, state.gravity,
             params.R_c0_c1, params.t_c0_c1,
         )
+        if cam_idx is not None:
+            Pc = cam_cov_blocks(state.P, cam_idx)
+            gamma = schur_gating_compact(blocks, Pc, params.sigma2)
+            use = use & (gamma < params.chi2_table[dof])
+            return measurement_update_schur_compact(
+                state, blocks, use, params.sigma2, cam_idx
+            )
         gamma = schur_gating(blocks, state.P, params.sigma2)
         use = use & (gamma < params.chi2_table[dof])
         return measurement_update_schur(state, blocks, use, params.sigma2)
@@ -216,10 +238,22 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_
 
     use = update_cand & init_ok
     dof = jnp.clip(involved, 1, 99)
-    state = _gate_and_update(
-        state, params, method, pos, tracks.obs,
-        involved_mask & use[:, None], use, dof, max_update,
-    )
+    if method == "schur":
+        # Every used observation lives in the two pruned slots, so the
+        # gate+update runs camera-compacted: (K, 8, 8) gating systems and a
+        # rank-12 EKF update instead of (K, 4M, 4M) + a (D, D) solve.
+        cam_idx = jnp.stack([slot_a, slot_b])
+        obs_c = tracks.obs[:, cam_idx]
+        mask_c = (involved_mask & use[:, None])[:, cam_idx]
+        state = _gate_and_update(
+            state, params, method, pos, obs_c, mask_c, use, dof, max_update,
+            cam_idx=cam_idx,
+        )
+    else:
+        state = _gate_and_update(
+            state, params, method, pos, tracks.obs,
+            involved_mask & use[:, None], use, dof, max_update,
+        )
 
     # Persist positions of tracks initialized during this phase (the
     # reference keeps Feature::position for later updates).

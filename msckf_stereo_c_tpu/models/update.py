@@ -281,6 +281,98 @@ def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
     return N, y
 
 
+def cam_cov_blocks(P: jnp.ndarray, cam_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather the (Mc, Mc, 6, 6) camera-camera covariance blocks for the
+    camera slots in ``cam_idx`` from the full (D, D) covariance."""
+    M = (P.shape[0] - 21) // 6
+    Pc = P[21:, 21:].reshape(M, 6, M, 6).transpose(0, 2, 1, 3)  # (M,M,6,6)
+    return Pc[cam_idx][:, cam_idx]
+
+
+def schur_gating_compact(
+    blocks: TrackBlocks, Pc: jnp.ndarray, sigma2
+) -> jnp.ndarray:
+    """``schur_gating`` on a camera-compacted block set: ``blocks`` carries
+    only Mc camera slots per track and ``Pc`` their (Mc, Mc, 6, 6)
+    covariance blocks.  Exact when every observation the update uses lives
+    in those slots (e.g. the 2-slot prune update) — the dropped slots'
+    Jacobian blocks are identically zero, so their rows of the full system
+    contribute sigma2*I only, which the Mahalanobis form ignores."""
+    dtype = blocks.H_x.dtype
+    K, Mc = blocks.obs_mask.shape
+    R4 = 4 * Mc
+
+    MP = jnp.einsum("kiab,ijbc,kjdc->kijad", blocks.H_x, Pc, blocks.H_x)
+    Mk = MP.transpose(0, 1, 3, 2, 4).reshape(K, R4, R4)
+    Mk = Mk + sigma2 * jnp.eye(R4, dtype=dtype)
+
+    Q1 = _feature_basis(blocks)  # (K, 4Mc, 3)
+    r = blocks.r.reshape(K, R4)
+    cho = jnp.linalg.cholesky(Mk)
+    Minv_r = jax.scipy.linalg.cho_solve((cho, True), r[..., None])[..., 0]
+    Minv_Q = jax.scipy.linalg.cho_solve((cho, True), Q1)
+    QMQ = jnp.einsum("kra,krb->kab", Q1, Minv_Q)
+    QMr = jnp.einsum("kra,kr->ka", Q1, Minv_r)
+    lam = jnp.einsum(
+        "kab,kb->ka", inv3x3(QMQ + 1e-12 * jnp.eye(3, dtype=dtype)), QMr
+    )
+    w = Minv_r - jnp.einsum("kra,ka->kr", Minv_Q, lam)
+    return jnp.einsum("kr,kr->k", r, w)
+
+
+def measurement_update_schur_compact(
+    state: FilterState,
+    blocks: TrackBlocks,
+    use_mask: jnp.ndarray,
+    sigma2,
+    cam_idx: jnp.ndarray,  # (Mc,) camera slots the blocks refer to
+) -> FilterState:
+    """Camera-compacted Schur update: the accumulated information lives
+    entirely in the ``6*Mc`` state columns of the cameras in ``cam_idx``,
+    so the EKF update is rank <= 6*Mc — one small Cholesky plus (D, 6Mc)
+    matmuls instead of the (D, D) Cholesky/solve of the full path.
+    Algebraically identical to ``measurement_update_schur`` on the
+    equivalent full-width blocks (tested)."""
+    dtype = state.P.dtype
+    D = state.P.shape[0]
+    Mc = cam_idx.shape[0]
+    Rk = 6 * Mc
+    use = use_mask.astype(dtype)
+
+    # Accumulated information restricted to the compacted camera columns.
+    Q1 = _feature_basis(blocks).reshape(-1, Mc, 4, 3)
+    W = jnp.einsum("kjac,kjab->kjcb", Q1, blocks.H_x)  # (K,Mc,3,6)
+    B = -jnp.einsum("kiac,kjcb->kijab", Q1, W)  # (K,Mc,Mc,4,6)
+    B = B.at[:, jnp.arange(Mc), jnp.arange(Mc)].add(blocks.H_x)
+    rho = jnp.einsum("kiac,kia->kc", Q1, blocks.r)
+    r_proj = blocks.r - jnp.einsum("kiac,kc->kia", Q1, rho)
+    Ncc = jnp.einsum("k,kijab,kiJaB->jbJB", use, B, B).reshape(Rk, Rk)
+    ycc = jnp.einsum("k,kijab,kia->jb", use, B, r_proj).reshape(Rk)
+
+    eps = _info_jitter(dtype) * (jnp.trace(Ncc) / Rk + 1.0)
+    L = jnp.linalg.cholesky(Ncc + eps * jnp.eye(Rk, dtype=dtype))
+    R_c = L.T  # (Rk, Rk): R_c^T R_c = Ncc
+    r_c = jax.scipy.linalg.solve_triangular(L, ycc, lower=True)
+
+    # State columns the compressed measurement touches.
+    cols = (21 + 6 * cam_idx[:, None] + jnp.arange(6)[None, :]).reshape(Rk)
+    P = state.P
+    P_cols = P[:, cols]  # (D, Rk)
+    P_cc = P_cols[cols]  # (Rk, Rk)
+
+    S = R_c @ P_cc @ R_c.T + sigma2 * jnp.eye(Rk, dtype=dtype)
+    K_T = jnp.linalg.solve(S, R_c @ P_cols.T)  # (Rk, D)
+    K = K_T.T  # (D, Rk) = P H^T S^-1
+    delta = K @ r_c
+
+    # P <- (I - K H) P with H = R_c scattered at ``cols``.
+    P_new = P - K @ (R_c @ P_cols.T)
+    P_new = 0.5 * (P_new + P_new.T)
+
+    state = apply_correction(state, delta)
+    return state._replace(P=P_new)
+
+
 def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
     """Exact Mahalanobis gamma of the nullspace-projected system, computed
     without forming the projection basis.

@@ -122,3 +122,70 @@ def test_chunked_run_matches_single(world):
     res_full = _run(world)
     res_chunk = _run(world, chunk=37)
     np.testing.assert_allclose(res_full.positions, res_chunk.positions, atol=1e-12)
+
+
+def test_prune_update_camera_compaction_exact():
+    """The camera-compacted gate+update used by the prune path (2 slots,
+    rank-12 EKF update) must equal the full-width schur path exactly: same
+    gating scores, same covariance, same corrected state."""
+    from msckf_stereo_c_tpu.models.state import init_filter_state
+    from msckf_stereo_c_tpu.models.update import (
+        cam_cov_blocks,
+        measurement_update_schur,
+        measurement_update_schur_compact,
+        schur_gating,
+        schur_gating_compact,
+        track_blocks,
+    )
+
+    cfg = CFG
+    M = cfg.max_cam_state_size
+    K = 16
+    rng = np.random.default_rng(3)
+    state = init_filter_state(cfg, EUROC_CALIB, jnp.float64)
+
+    # Random PSD covariance, random camera ring, random observations.
+    A = rng.normal(size=(state.P.shape[0], state.P.shape[0])) * 0.01
+    P = jnp.asarray(A @ A.T + 1e-4 * np.eye(A.shape[0]))
+    q = rng.normal(size=(M, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cams = state.cams._replace(
+        q=jnp.asarray(q), p=jnp.asarray(rng.normal(size=(M, 3))),
+        q_null=jnp.asarray(q), p_null=jnp.asarray(rng.normal(size=(M, 3)) * 0.1),
+    )
+    state = state._replace(P=P, cams=cams, num_cams=jnp.asarray(M, jnp.int32))
+
+    slot_a, slot_b = jnp.asarray(2), jnp.asarray(7)
+    cam_idx = jnp.stack([slot_a, slot_b])
+    pos = jnp.asarray(rng.normal(size=(K, 3)) * 2 + np.array([0, 0, 5.0]))
+    obs = jnp.asarray(rng.normal(size=(K, M, 4)) * 0.2)
+    obs_mask = jnp.zeros((K, M), bool).at[:, cam_idx].set(True)
+    use = jnp.asarray(rng.random(K) > 0.3)
+    obs_mask = obs_mask & use[:, None]
+
+    full = track_blocks(
+        pos, obs, obs_mask, state.cams, state.gravity,
+        jnp.eye(3, dtype=P.dtype), jnp.asarray([-0.1, 0.0, 0.0], P.dtype),
+    )
+    cams_c = state.cams._replace(
+        q=state.cams.q[cam_idx], p=state.cams.p[cam_idx],
+        q_null=state.cams.q_null[cam_idx], p_null=state.cams.p_null[cam_idx],
+    )
+    comp = track_blocks(
+        pos, obs[:, cam_idx], obs_mask[:, cam_idx], cams_c, state.gravity,
+        jnp.eye(3, dtype=P.dtype), jnp.asarray([-0.1, 0.0, 0.0], P.dtype),
+    )
+
+    sigma2 = jnp.asarray(0.035**2)
+    g_full = schur_gating(full, P, sigma2)
+    g_comp = schur_gating_compact(comp, cam_cov_blocks(P, cam_idx), sigma2)
+    np.testing.assert_allclose(np.asarray(g_comp), np.asarray(g_full), rtol=1e-8, atol=1e-10)
+
+    s_full = measurement_update_schur(state, full, use, sigma2)
+    s_comp = measurement_update_schur_compact(state, comp, use, sigma2, cam_idx)
+    np.testing.assert_allclose(np.asarray(s_comp.P), np.asarray(s_full.P), rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_comp.imu.p), np.asarray(s_full.imu.p), rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_comp.imu.q), np.asarray(s_full.imu.q), rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_comp.cams.p), np.asarray(s_full.cams.p), rtol=1e-6, atol=1e-12
+    )
