@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .klt import KltResult, _MIN_EIG_THRESHOLD
 from .klt_gemm import _SEARCH_RADIUS, _extract_patches, _sample, _tent_weights
 from .linalg import solve2x2
+from .patch_extract import extract_patches_pallas
 
 # Iteration-loop backend: "auto" = Pallas on TPU / XLA while_loop elsewhere;
 # "xla" forces the while_loop; "interpret" runs the Pallas kernel in
@@ -234,9 +235,9 @@ def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
             jnp.array([W - Tq, H - Tq], dtype),
         )
         torg_i = torg.astype(jnp.int32)
-        tpatch = jax.vmap(
-            lambda o: jax.lax.dynamic_slice(img_prev, (o[1], o[0]), (Tq, Tq))
-        )(torg_i)
+        tpatch = extract_patches_pallas(
+            img_prev, torg_i, Tq, interpret=(mode == "interpret")
+        )
         a = jnp.clip(pts_prev - (P + 1) / 2.0 - torg, 0.0, 1.0)
         ax = a[:, 0][:, None, None]
         ay = a[:, 1][:, None, None]
@@ -273,7 +274,14 @@ def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
     tgy = jnp.sum(templ * gy, (-2, -1))
 
     # --- Search patch around the initial guess + correlation surfaces.
-    spatch, sorg = _extract_patches(img_curr, pts_curr0, S)
+    if mode in ("pallas", "interpret"):
+        sorg = jnp.floor(pts_curr0) - (S // 2)
+        sorg = jnp.clip(sorg, 0, jnp.array([W - S, H - S], dtype))
+        spatch = extract_patches_pallas(
+            img_curr, sorg.astype(jnp.int32), S, interpret=(mode == "interpret")
+        )
+    else:
+        spatch, sorg = _extract_patches(img_curr, pts_curr0, S)
     Cx, Cy = _corr_surfaces(spatch, gx, gy, P)  # (N, K, K)
     K = S - P + 1
 

@@ -1,0 +1,129 @@
+"""Batched fixed-size patch extraction as a Pallas kernel.
+
+``jax.vmap(dynamic_slice)`` lowers to an XLA gather, the weakest op on TPU:
+extracting the per-feature template/search windows this way costs more than
+the entire 30-iteration LK loop (measured 3.3 ms per call at B=16 x 96
+features vs 1.5 ms for the iterations, v5e).  This kernel keeps the image
+resident in VMEM and copies each window out with an aligned block load +
+``pltpu.roll`` of the sub-tile residual (Mosaic dynamic slices must start at
+tile-aligned offsets; rolls take runtime shifts) — pure VPU data movement,
+no gather.
+
+Used by ``klt_corr`` for template and search patches; the XLA gather
+formulation remains in ``klt_gemm._extract_patches`` (reference path and
+non-TPU backends).
+"""
+from __future__ import annotations
+
+import functools as _functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 64  # features per grid step (bounds the output block's VMEM use)
+
+
+def _kernel_factory(Hp: int, Wp: int, S: int, CHUNK: int):
+    # Aligned superset block: residual (<= 7 sublanes / <= 127 lanes, or the
+    # clip overhang which is bounded by RY-S / RX-S) + window must fit.
+    # Mosaic's dynamic sublane roll miscompiles on non-power-of-two extents
+    # (48-row blocks corrupt every oy%8 != 0 feature; 32/64 are exact), so
+    # RY rounds up to a power of two.
+    RY = 8
+    while RY < min(S + 7, Hp):
+        RY *= 2
+    RY = min(RY, Hp)
+    RX = Wp if Wp <= 256 else 256
+    if RX < S + 127 and RX < Wp:
+        RX = min(-(-(S + 127) // 128) * 128, Wp)
+
+    def kernel(org_ref, img_ref, out_ref):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        npad = org_ref.shape[0] // 2 // pl.num_programs(0)
+
+        def body(f, _):
+            i = b * npad + c * CHUNK + f
+            ox = org_ref[2 * i]
+            oy = org_ref[2 * i + 1]
+            ay = jnp.clip(8 * (oy // 8), 0, Hp - RY)
+            if RX >= Wp:
+                blk = img_ref[0, pl.ds(pl.multiple_of(ay, 8), RY), :]
+                ax = jnp.zeros((), jnp.int32)
+            else:
+                ax = jnp.clip(128 * (ox // 128), 0, Wp - RX)
+                blk = img_ref[
+                    0, pl.ds(pl.multiple_of(ay, 8), RY), pl.ds(pl.multiple_of(ax, 128), RX)
+                ]
+            blk = pltpu.roll(blk, -(oy - ay), 0)
+            blk = pltpu.roll(blk, -(ox - ax), 1)
+            out_ref[0, f] = blk[:S, :S]
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, body, 0)
+
+    return kernel, RY, RX
+
+
+@_functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def _extract_batched(img: jnp.ndarray, origins: jnp.ndarray, S: int, interpret: bool):
+    """img (B, H, W), origins (B, N, 2) int32 [x, y] -> (B, N, S, S)."""
+    B, H, W = img.shape
+    N = origins.shape[1]
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    if (Hp, Wp) != (H, W):
+        img = jnp.pad(img, ((0, 0), (0, Hp - H), (0, Wp - W)), mode="edge")
+    Np = -(-N // _CHUNK) * _CHUNK
+    if Np != N:
+        origins = jnp.pad(origins, ((0, 0), (0, Np - N), (0, 0)))
+
+    kernel, RY, RX = _kernel_factory(Hp, Wp, S, _CHUNK)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Np // _CHUNK),
+        in_specs=[
+            pl.BlockSpec((1, Hp, Wp), lambda b, c, org: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _CHUNK, S, S), lambda b, c, org: (b, c, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Np, S, S), img.dtype),
+        interpret=interpret,
+    )(origins.reshape(B * Np * 2), img)
+    return out[:, :N]
+
+
+def extract_patches_pallas(
+    img: jnp.ndarray, origins: jnp.ndarray, S: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(N, S, S) windows img[oy:oy+S, ox:ox+S] for integer origins (N, 2)
+    [x, y].  Origins must already be clipped to [0, W-S] x [0, H-S] (the
+    callers' clamp).  Batched via custom_vmap: a shared (unbatched) image is
+    NOT copied per lane — the lane axis folds into the feature axis."""
+
+    @jax.custom_batching.custom_vmap
+    def run(img2, org2):
+        return _extract_batched(img2[None], org2[None], S, interpret)[0]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, img2, org2):
+        img_b, org_b = in_batched
+        if not org_b:
+            org2 = jnp.broadcast_to(org2[None], (axis_size,) + org2.shape)
+        if not img_b:
+            # Shared image: fold lanes into the feature axis.
+            N = org2.shape[1]
+            out = _extract_batched(
+                img2[None], org2.reshape(1, axis_size * N, 2), S, interpret
+            )
+            return out.reshape(axis_size, N, S, S), True
+        return _extract_batched(img2, org2, S, interpret), True
+
+    return run(img, origins)
