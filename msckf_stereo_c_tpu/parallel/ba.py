@@ -150,7 +150,7 @@ def make_distributed_ba(mesh: Mesh, iters: int = 10, damping: float = 1e-6, axis
     """Build the jitted sharded BA: landmarks (and their obs) sharded over
     ``axis``; pose system assembled with psum over ICI; pose state
     replicated."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(cam_q, cam_p, landmarks, obs, mask, R01, t01):
         dtype = landmarks.dtype

@@ -65,7 +65,7 @@ def make_sharded_runner(
         total_tracks = jax.lax.psum(jnp.sum(poses.num_tracks), mesh_axis)
         return new_states, poses, total_tracks
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(mesh_axis)
     sharded = shard_map(

@@ -121,7 +121,7 @@ def optimize_pose_graph(graph: PoseGraph, iters: int = 10, damping: float = 1e-8
 def make_distributed_pose_graph(mesh: Mesh, iters: int = 10, damping: float = 1e-8, axis: str = "edges"):
     """Edges sharded over ``axis``; poses replicated; per-iteration psum of
     the normal equations over ICI."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(q, p, ei, ej, Rm, tm, w):
         F = q.shape[0]
