@@ -40,7 +40,10 @@ def main():
         temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "2")),
         klt_impl=os.environ.get("BENCH_KLT", FrontendConfig.klt_impl),
     )
-    mcfg = FilterConfig()
+    # Newton-Schulz linear solvers (batched MXU matmuls instead of the
+    # column-sequential Cholesky lowerings) are the hardware default;
+    # BENCH_NS_ITERS=0 restores exact factorizations.
+    mcfg = FilterConfig(ns_iters=int(os.environ.get("BENCH_NS_ITERS", "14")))
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100"))

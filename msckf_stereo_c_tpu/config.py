@@ -105,6 +105,13 @@ class FilterConfig:
     # (the TPU analog of the reference's 1500-row cap, msckf_vio.cpp:1009 —
     # overflow candidates are dropped from the update, not from the map).
     max_update_tracks: int = 32
+    # Linear-solver implementation for gating + the schur EKF update.
+    # 0 = exact factorizations (Cholesky; the CPU/f64 validation path).
+    # >0 = scaled Newton-Schulz inverse with that many iterations — pure
+    # batched MXU matmuls, no sequential column loops (the TPU fast path;
+    # each iteration quadruples the spectral floor, 14 covers condition
+    # numbers ~1e7, beyond f32 solve accuracy anyway).
+    ns_iters: int = 0
 
     @property
     def gyro_noise_var(self) -> float:
@@ -296,4 +303,5 @@ def load_filter_config(path: str) -> FilterConfig:
         initial_cov_extrinsic_translation=float(
             node.get("initial_covariance/extrinsic_translation_cov", base.initial_cov_extrinsic_translation)
         ),
+        ns_iters=int(node.get("ns_iters", base.ns_iters)),
     )

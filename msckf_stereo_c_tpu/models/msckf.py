@@ -105,6 +105,7 @@ def _gate_and_update(
     dof,
     max_update: int = 0,
     cam_idx=None,
+    ns_iters: int = 0,
 ) -> FilterState:
     """Chi-square gate + compressed EKF update over the selected tracks.
 
@@ -145,14 +146,14 @@ def _gate_and_update(
         )
         if cam_idx is not None:
             Pc = cam_cov_blocks(state.P, cam_idx)
-            gamma = schur_gating_compact(blocks, Pc, params.sigma2)
+            gamma = schur_gating_compact(blocks, Pc, params.sigma2, ns_iters)
             use = use & (gamma < params.chi2_table[dof])
             return measurement_update_schur_compact(
-                state, blocks, use, params.sigma2, cam_idx
+                state, blocks, use, params.sigma2, cam_idx, ns_iters
             )
-        gamma = schur_gating(blocks, state.P, params.sigma2)
+        gamma = schur_gating(blocks, state.P, params.sigma2, ns_iters)
         use = use & (gamma < params.chi2_table[dof])
-        return measurement_update_schur(state, blocks, use, params.sigma2)
+        return measurement_update_schur(state, blocks, use, params.sigma2, ns_iters)
 
     jacs = track_jacobians(
         pos, obs, obs_mask, state.cams, state.gravity,
@@ -163,7 +164,7 @@ def _gate_and_update(
     return measurement_update(state, jacs, use, params.sigma2, method=method)
 
 
-def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0) -> FilterState:
+def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
     """Triangulate + update with tracks that lost tracking this frame
     (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
     tracks = state.tracks
@@ -194,7 +195,7 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, 
     dof = jnp.clip(n_obs - 1, 1, 99)
     state = _gate_and_update(
         state, params, method, pos, tracks.obs,
-        tracks.obs_valid & use[:, None], use, dof, max_update,
+        tracks.obs_valid & use[:, None], use, dof, max_update, ns_iters=ns_iters,
     )
 
     # All processed or too-short tracks leave the map.
@@ -207,7 +208,7 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, 
     return state._replace(tracks=tracks)
 
 
-def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_update: int = 0) -> FilterState:
+def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
     """Marginalize two redundant camera states
     (reference pruneCamStateBuffer, msckf_vio.cpp:1073-1184)."""
     tracks = state.tracks
@@ -247,12 +248,12 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_
         mask_c = (involved_mask & use[:, None])[:, cam_idx]
         state = _gate_and_update(
             state, params, method, pos, obs_c, mask_c, use, dof, max_update,
-            cam_idx=cam_idx,
+            cam_idx=cam_idx, ns_iters=ns_iters,
         )
     else:
         state = _gate_and_update(
             state, params, method, pos, tracks.obs,
-            involved_mask & use[:, None], use, dof, max_update,
+            involved_mask & use[:, None], use, dof, max_update, ns_iters=ns_iters,
         )
 
     # Persist positions of tracks initialized during this phase (the
@@ -340,10 +341,10 @@ def filter_step(
         state = propagate(state, imu, params.Q_imu)
         state = augment_state(state, frame.time)
         state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
-        state = _remove_lost_features(state, params, method, cfg.max_update_tracks)
+        state = _remove_lost_features(state, params, method, cfg.max_update_tracks, cfg.ns_iters)
         state = jax.lax.cond(
             state.num_cams >= cfg.max_cam_state_size,
-            lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks),
+            lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks, cfg.ns_iters),
             lambda s: s,
             state,
         )

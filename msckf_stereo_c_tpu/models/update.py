@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg import inv3x3
+from ..ops.linalg import inv3x3, ns_posdef_inverse
 from ..utils.lie import skew
 from ..utils.quaternion import jpl_to_rot, quat_multiply, small_angle_quaternion
 from .state import CamStates, FilterState
@@ -249,17 +249,20 @@ def _feature_basis(blocks: TrackBlocks):
     return jnp.stack([q0, q1, q2], axis=-1)  # (K, 4M, 3)
 
 
-def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
-    """Accumulated information (N, y) of all selected tracks with the feature
-    positions marginalized — algebraically identical to H_o^T H_o / H_o^T r_o
-    of the nullspace-projected system, but computed without any tall QR.
+def schur_information_cam(blocks: TrackBlocks, use_mask: jnp.ndarray):
+    """Accumulated information of all selected tracks with the feature
+    positions marginalized, restricted to the camera block — algebraically
+    identical to H_o^T H_o / H_o^T r_o of the nullspace-projected system
+    (whose rows only touch camera columns), but computed without any tall QR.
 
     The projected rows B = (I - Q1 Q1^T) H are formed explicitly in compact
     per-camera blocks and N accumulates as the Gram matrix sum B^T B, which
     keeps N PSD to rounding even in f32 (the equivalent Schur-complement
     subtraction D - W C^-1 W^T cancels catastrophically in single
     precision).  H's camera-block structure keeps everything batched small
-    matmuls: B[k,i,j] = delta_ij H_x[k,i] - Q1[k,i] (Q1[k,j]^T H_x[k,j])."""
+    matmuls: B[k,i,j] = delta_ij H_x[k,i] - Q1[k,i] (Q1[k,j]^T H_x[k,j]).
+
+    Returns (Ncc (6M,6M), ycc (6M,))."""
     dtype = blocks.H_x.dtype
     K, M = blocks.obs_mask.shape
     use = use_mask.astype(dtype)
@@ -274,10 +277,15 @@ def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
 
     Ncam = jnp.einsum("k,kijab,kiJaB->jbJB", use, B, B)  # (M,6,M,6)
     ycam = jnp.einsum("k,kijab,kia->jb", use, B, r_proj)  # (M,6)
+    return Ncam.reshape(6 * M, 6 * M), ycam.reshape(6 * M)
 
-    Ncc = Ncam.reshape(6 * M, 6 * M)
+
+def schur_information(blocks: TrackBlocks, use_mask: jnp.ndarray, D: int):
+    """Full-width (D, D) scatter of ``schur_information_cam``."""
+    dtype = blocks.H_x.dtype
+    Ncc, ycc = schur_information_cam(blocks, use_mask)
     N = jnp.zeros((D, D), dtype).at[21:, 21:].set(Ncc)
-    y = jnp.zeros((D,), dtype).at[21:].set(ycam.reshape(6 * M))
+    y = jnp.zeros((D,), dtype).at[21:].set(ycc)
     return N, y
 
 
@@ -289,8 +297,31 @@ def cam_cov_blocks(P: jnp.ndarray, cam_idx: jnp.ndarray) -> jnp.ndarray:
     return Pc[cam_idx][:, cam_idx]
 
 
+def _constrained_gamma(Mk, Q1, r, sigma2, ns_iters: int):
+    """gamma = r^T w with  M w + Q1 lam = r,  Q1^T w = 0  (block elimination).
+
+    ``ns_iters > 0`` solves with the Newton–Schulz inverse (batched MXU
+    matmuls — the TPU path); 0 uses an exact Cholesky (CPU/f64 validation)."""
+    dtype = Mk.dtype
+    if ns_iters:
+        X = ns_posdef_inverse(Mk, sigma2, ns_iters)
+        Minv_r = jnp.einsum("krs,ks->kr", X, r)
+        Minv_Q = X @ Q1
+    else:
+        cho = jnp.linalg.cholesky(Mk)
+        Minv_r = jax.scipy.linalg.cho_solve((cho, True), r[..., None])[..., 0]
+        Minv_Q = jax.scipy.linalg.cho_solve((cho, True), Q1)
+    QMQ = jnp.einsum("kra,krb->kab", Q1, Minv_Q)
+    QMr = jnp.einsum("kra,kr->ka", Q1, Minv_r)
+    lam = jnp.einsum(
+        "kab,kb->ka", inv3x3(QMQ + 1e-12 * jnp.eye(3, dtype=dtype)), QMr
+    )
+    w = Minv_r - jnp.einsum("kra,ka->kr", Minv_Q, lam)
+    return jnp.einsum("kr,kr->k", r, w)
+
+
 def schur_gating_compact(
-    blocks: TrackBlocks, Pc: jnp.ndarray, sigma2
+    blocks: TrackBlocks, Pc: jnp.ndarray, sigma2, ns_iters: int = 0
 ) -> jnp.ndarray:
     """``schur_gating`` on a camera-compacted block set: ``blocks`` carries
     only Mc camera slots per track and ``Pc`` their (Mc, Mc, 6, 6)
@@ -308,16 +339,7 @@ def schur_gating_compact(
 
     Q1 = _feature_basis(blocks)  # (K, 4Mc, 3)
     r = blocks.r.reshape(K, R4)
-    cho = jnp.linalg.cholesky(Mk)
-    Minv_r = jax.scipy.linalg.cho_solve((cho, True), r[..., None])[..., 0]
-    Minv_Q = jax.scipy.linalg.cho_solve((cho, True), Q1)
-    QMQ = jnp.einsum("kra,krb->kab", Q1, Minv_Q)
-    QMr = jnp.einsum("kra,kr->ka", Q1, Minv_r)
-    lam = jnp.einsum(
-        "kab,kb->ka", inv3x3(QMQ + 1e-12 * jnp.eye(3, dtype=dtype)), QMr
-    )
-    w = Minv_r - jnp.einsum("kra,ka->kr", Minv_Q, lam)
-    return jnp.einsum("kr,kr->k", r, w)
+    return _constrained_gamma(Mk, Q1, r, sigma2, ns_iters)
 
 
 def measurement_update_schur_compact(
@@ -326,6 +348,7 @@ def measurement_update_schur_compact(
     use_mask: jnp.ndarray,
     sigma2,
     cam_idx: jnp.ndarray,  # (Mc,) camera slots the blocks refer to
+    ns_iters: int = 0,
 ) -> FilterState:
     """Camera-compacted Schur update: the accumulated information lives
     entirely in the ``6*Mc`` state columns of the cameras in ``cam_idx``,
@@ -349,16 +372,28 @@ def measurement_update_schur_compact(
     Ncc = jnp.einsum("k,kijab,kiJaB->jbJB", use, B, B).reshape(Rk, Rk)
     ycc = jnp.einsum("k,kijab,kia->jb", use, B, r_proj).reshape(Rk)
 
-    eps = _info_jitter(dtype) * (jnp.trace(Ncc) / Rk + 1.0)
-    L = jnp.linalg.cholesky(Ncc + eps * jnp.eye(Rk, dtype=dtype))
-    R_c = L.T  # (Rk, Rk): R_c^T R_c = Ncc
-    r_c = jax.scipy.linalg.solve_triangular(L, ycc, lower=True)
-
     # State columns the compressed measurement touches.
     cols = (21 + 6 * cam_idx[:, None] + jnp.arange(6)[None, :]).reshape(Rk)
     P = state.P
     P_cols = P[:, cols]  # (D, Rk)
     P_cc = P_cols[cols]  # (Rk, Rk)
+
+    if ns_iters:
+        # Factorization-free information form (see measurement_update_schur).
+        Mu = sigma2 * jnp.eye(Rk, dtype=dtype) + Ncc @ P_cc
+        W = ns_posdef_inverse(Mu, sigma2, ns_iters)
+        Gcc = W @ Ncc
+        Gcc = 0.5 * (Gcc + Gcc.T)
+        delta = P_cols @ (W @ ycc)
+        P_new = P - P_cols @ Gcc @ P_cols.T
+        P_new = 0.5 * (P_new + P_new.T)
+        state = apply_correction(state, delta)
+        return state._replace(P=P_new)
+
+    eps = _info_jitter(dtype) * (jnp.trace(Ncc) / Rk + 1.0)
+    L = jnp.linalg.cholesky(Ncc + eps * jnp.eye(Rk, dtype=dtype))
+    R_c = L.T  # (Rk, Rk): R_c^T R_c = Ncc
+    r_c = jax.scipy.linalg.solve_triangular(L, ycc, lower=True)
 
     S = R_c @ P_cc @ R_c.T + sigma2 * jnp.eye(Rk, dtype=dtype)
     K_T = jnp.linalg.solve(S, R_c @ P_cols.T)  # (Rk, D)
@@ -373,14 +408,15 @@ def measurement_update_schur_compact(
     return state._replace(P=P_new)
 
 
-def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
+def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2, ns_iters: int = 0) -> jnp.ndarray:
     """Exact Mahalanobis gamma of the nullspace-projected system, computed
     without forming the projection basis.
 
     With M_k = H_stack P H_stack^T + sigma2 I and Q1 an orthonormal basis of
     col(H_f), the projected gamma equals r^T w where w solves the
     equality-constrained system  M w + Q1 lam = r,  Q1^T w = 0  (block
-    elimination with two Cholesky solves)."""
+    elimination with two SPD solves — Cholesky, or Newton–Schulz matmuls
+    when ``ns_iters > 0``)."""
     dtype = blocks.H_x.dtype
     K, M = blocks.obs_mask.shape
     R4 = 4 * M
@@ -392,18 +428,8 @@ def schur_gating(blocks: TrackBlocks, P: jnp.ndarray, sigma2) -> jnp.ndarray:
     Mk = Mk + sigma2 * jnp.eye(R4, dtype=dtype)
 
     Q1 = _feature_basis(blocks)  # (K, 4M, 3)
-
     r = blocks.r.reshape(K, R4)
-    cho = jnp.linalg.cholesky(Mk)
-    Minv_r = jax.scipy.linalg.cho_solve((cho, True), r[..., None])[..., 0]
-    Minv_Q = jax.scipy.linalg.cho_solve((cho, True), Q1)
-    QMQ = jnp.einsum("kra,krb->kab", Q1, Minv_Q)  # (K,3,3)
-    QMr = jnp.einsum("kra,kr->ka", Q1, Minv_r)
-    lam = jnp.einsum(
-        "kab,kb->ka", inv3x3(QMQ + 1e-12 * jnp.eye(3, dtype=dtype)), QMr
-    )
-    w = Minv_r - jnp.einsum("kra,ka->kr", Minv_Q, lam)
-    return jnp.einsum("kr,kr->k", r, w)
+    return _constrained_gamma(Mk, Q1, r, sigma2, ns_iters)
 
 
 def _info_jitter(dtype) -> float:
@@ -421,11 +447,42 @@ def measurement_update_schur(
     blocks: TrackBlocks,
     use_mask: jnp.ndarray,
     sigma2,
+    ns_iters: int = 0,
 ) -> FilterState:
     """EKF update from the accumulated Schur information — the TPU fast path
-    (no QR anywhere; equivalent to measurement_update(method='cholesky'))."""
+    (no QR anywhere; equivalent to measurement_update(method='cholesky')).
+
+    ``ns_iters > 0`` switches to the factorization-free information form:
+    with the accumulated camera-block information (Ncc, ycc), the update is
+
+        Gcc = (sigma2 I + Ncc Pcc)^-1 Ncc       (symmetric by push-through)
+        delta = P[:, cam] (sigma2 I + Ncc Pcc)^-1 ycc
+        P'    = P - P[:, cam] Gcc P[cam, :]
+
+    which is algebraically identical to the square-root compressed EKF
+    update (substitute R_t^T R_t = Ncc, R_t^T r_t = ycc and push through),
+    but needs only one Newton–Schulz inverse — batched matmuls, no
+    Cholesky / triangular / LU solves anywhere."""
     dtype = state.P.dtype
     D = state.P.shape[0]
+    P = state.P
+
+    if ns_iters:
+        Ncc, ycc = schur_information_cam(blocks, use_mask)
+        R6 = Ncc.shape[0]
+        Pcc = P[21:, 21:]
+        Mu = sigma2 * jnp.eye(R6, dtype=dtype) + Ncc @ Pcc
+        W = ns_posdef_inverse(Mu, sigma2, ns_iters)
+        Gcc = W @ Ncc
+        Gcc = 0.5 * (Gcc + Gcc.T)
+        gcc = W @ ycc
+        P_cols = P[:, 21:]  # (D, 6M)
+        delta = P_cols @ gcc
+        P_new = P - P_cols @ Gcc @ P_cols.T
+        P_new = 0.5 * (P_new + P_new.T)
+        state = apply_correction(state, delta)
+        return state._replace(P=P_new)
+
     N, y = schur_information(blocks, use_mask, D)
 
     eps = _info_jitter(dtype) * (jnp.trace(N) / D + 1.0)
@@ -433,7 +490,6 @@ def measurement_update_schur(
     R_t = L.T
     r_t = jax.scipy.linalg.solve_triangular(L, y, lower=True)
 
-    P = state.P
     S = R_t @ P @ R_t.T + sigma2 * jnp.eye(D, dtype=dtype)
     K_T = jnp.linalg.solve(S, R_t @ P)
     K = K_T.T

@@ -180,7 +180,7 @@ def make_distributed_ba(mesh: Mesh, iters: int = 10, damping: float = 1e-6, axis
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(), P(), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

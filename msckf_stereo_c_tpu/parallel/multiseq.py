@@ -73,7 +73,7 @@ def make_sharded_runner(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -144,7 +144,7 @@ def make_distributed_pose_graph(mesh: Mesh, iters: int = 10, damping: float = 1e
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
