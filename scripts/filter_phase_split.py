@@ -33,7 +33,7 @@ from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, 
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
 fcfg = FrontendConfig(temporal_levels=2)
-mcfg = FilterConfig()
+mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "14")))
 dtype = jnp.float32
 B = int(os.environ.get("FPS_BATCH", "16"))
 n_frames = int(os.environ.get("FPS_FRAMES", "50"))
@@ -72,12 +72,12 @@ def filter_prefix(state, frame, imu_b, upto):
         state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
         if upto == "aug":
             return state
-        state = _remove_lost_features(state, mparams, "schur", mcfg.max_update_tracks)
+        state = _remove_lost_features(state, mparams, "schur", mcfg.max_update_tracks, mcfg.ns_iters)
         if upto == "lost":
             return state
         state = jax.lax.cond(
             state.num_cams >= mcfg.max_cam_state_size,
-            lambda s: _prune_cam_states(s, mparams, "schur", mcfg.max_update_tracks),
+            lambda s: _prune_cam_states(s, mparams, "schur", mcfg.max_update_tracks, mcfg.ns_iters),
             lambda s: s,
             state,
         )

@@ -30,7 +30,7 @@ from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, 
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
 fcfg = FrontendConfig(temporal_levels=2)
-mcfg = FilterConfig()
+mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "14")))
 dtype = jnp.float32
 B = int(os.environ.get("LPS_BATCH", "16"))
 n_frames = int(os.environ.get("LPS_FRAMES", "50"))
@@ -103,11 +103,11 @@ def lost_prefix(state, params, upto):
     )
     if upto == "blk":
         return state, blocks.H_x
-    gamma = schur_gating(blocks, state.P, params.sigma2)
+    gamma = schur_gating(blocks, state.P, params.sigma2, mcfg.ns_iters)
     if upto == "gate":
         return state, gamma
     use = use & (gamma < params.chi2_table[dof])
-    return measurement_update_schur(state, blocks, use, params.sigma2), jnp.zeros((), state.P.dtype)
+    return measurement_update_schur(state, blocks, use, params.sigma2, mcfg.ns_iters), jnp.zeros((), state.P.dtype)
 
 
 def vio_step_variant(state, img0a, img1a, t, imu_b, upto):
