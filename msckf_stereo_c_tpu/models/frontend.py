@@ -195,26 +195,20 @@ def _stereo_match(
     return pts1, ok
 
 
-def _add_new_features(
-    state: TrackerState,
-    pyr0: Sequence[jnp.ndarray],
-    pyr1: Sequence[jnp.ndarray],
-    params: FrontendParams,
+def _detect_candidates(
+    pts0: jnp.ndarray,
+    pts_valid: jnp.ndarray,
+    img_top: jnp.ndarray,
     cfg: FrontendConfig,
     img_shape: Tuple[int, int],
-    fill_to: int,
 ):
-    """Detect FAST corners away from existing tracks, stereo-match them and
-    fill under-populated grids (reference addNewFeatures /
-    initializeFirstFrame).  ``fill_to``: per-grid target population
-    (grid_min_feature_num in both reference paths)."""
-    H, W = img_shape
-    N = cfg.max_features
-    occupied = occupancy_from_points(state.pts0, state.fid >= 0, img_shape, cfg.detector_cell)
-    corners = detect_grid_corners(pyr0[0], float(cfg.fast_threshold), cfg.detector_cell, occupied)
+    """FAST corners away from current tracks, sieved to the per-grid top
+    ``grid_max_feature_num`` by response (reference addNewFeatures detection
+    + sieve, image_processor.cpp:632-677).  Returns fixed-size candidate
+    arrays (C = num_grids * grid_max_feature_num)."""
+    occupied = occupancy_from_points(pts0, pts_valid, img_shape, cfg.detector_cell)
+    corners = detect_grid_corners(img_top, float(cfg.fast_threshold), cfg.detector_cell, occupied)
 
-    # Per feature-grid, keep the top grid_max_feature_num candidates by
-    # response (the "sieve", image_processor.cpp:661-677).
     cand_grid = _grid_code(corners.xy, img_shape, cfg)
     rank = _rank_within_group(cand_grid, -corners.score, corners.valid, cfg.num_grids)
     C = cfg.num_grids * cfg.grid_max_feature_num
@@ -222,6 +216,89 @@ def _add_new_features(
     cand_xy = jnp.zeros((C, 2), corners.xy.dtype).at[slot].set(corners.xy, mode="drop")
     cand_score = jnp.zeros((C,), corners.score.dtype).at[slot].set(corners.score, mode="drop")
     cand_valid = jnp.zeros((C,), bool).at[slot].set(corners.valid, mode="drop")
+    return cand_xy, cand_score, cand_valid
+
+
+def _stereo_match_merged(
+    pyr0: Sequence[jnp.ndarray],
+    pyr1: Sequence[jnp.ndarray],
+    pts_surv: jnp.ndarray,
+    surv_guess: jnp.ndarray,
+    surv_valid: jnp.ndarray,
+    cand_xy: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    params: FrontendParams,
+    cfg: FrontendConfig,
+    img_shape: Tuple[int, int],
+):
+    """Stereo match surviving tracks AND detection candidates in one pass.
+
+    Surviving tracks carry their previous disparity (within ~1 px) and need
+    only the two finest levels; candidates start from the extrinsic-rotation
+    guess and walk the coarse levels first (reference stereoMatch,
+    image_processor.cpp:534-620).  Both end on the SAME two finest levels,
+    so those run as a single concatenated KLT call (per-call dispatch
+    dominates at these sizes — see docs/BENCH_NOTES.md) and the epipolar
+    gate runs once over the union.  Level-by-level numerics are identical
+    to the separate calls: the coarse sub-call's per-level iteration matches
+    the full-pyramid walk, and validity is only ever taken from the final
+    full-resolution level."""
+    H, W = img_shape
+    klt = _klt_fn(cfg.klt_impl)
+
+    # Candidate initial guess: rotate cam0 rays by R_c0_c1 into cam1.
+    xn = undistort_points(cand_xy, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
+    cguess = distort_points(xn, params.K1, params.D1, model=cfg.distortion_model1)
+    if len(pyr0) > 2:
+        s = 4.0  # scale of pyramid level 2
+        res_c = klt(
+            pyr0[2:], pyr1[2:], cand_xy / s, cguess / s, cand_valid,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+        )
+        # Coarse levels only refine the guess; their validity checks belong
+        # to the final level (run below at full resolution).
+        cguess = res_c.pts * s
+
+    n_surv = pts_surv.shape[0]
+    pts0 = jnp.concatenate([pts_surv, cand_xy], axis=0)
+    guess = jnp.concatenate([surv_guess, cguess], axis=0)
+    valid = jnp.concatenate([surv_valid, cand_valid], axis=0)
+    res = klt(
+        pyr0[:2], pyr1[:2], pts0, guess, valid,
+        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+    )
+    pts1 = res.pts
+    ok = res.valid & valid
+    ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
+
+    # Epipolar consistency with the known essential matrix — one pass over
+    # the union (same math as _stereo_match).
+    un0 = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0)
+    un1 = undistort_points(pts1, params.K1, params.D1, model=cfg.distortion_model1)
+    p0h = jnp.concatenate([un0, jnp.ones_like(un0[:, :1])], axis=1)
+    p1h = jnp.concatenate([un1, jnp.ones_like(un1[:, :1])], axis=1)
+    line = p0h @ params.E.T
+    dist = jnp.abs(jnp.sum(p1h * line, axis=1)) / jnp.sqrt(
+        line[:, 0] ** 2 + line[:, 1] ** 2 + 1e-12
+    )
+    ok = ok & (dist <= cfg.stereo_threshold * params.norm_pixel_unit)
+    return (pts1[:n_surv], ok[:n_surv]), (pts1[n_surv:], ok[n_surv:])
+
+
+def _allocate_new_features(
+    state: TrackerState,
+    cand_xy: jnp.ndarray,
+    cand_score: jnp.ndarray,
+    cand_pts1: jnp.ndarray,
+    cand_ok: jnp.ndarray,
+    cfg: FrontendConfig,
+    img_shape: Tuple[int, int],
+    fill_to: int,
+):
+    """Fill under-populated grids with stereo-matched candidates (reference
+    addNewFeatures / initializeFirstFrame fill, image_processor.cpp:735-750).
+    ``fill_to``: per-grid target population (grid_min_feature_num)."""
+    N = cfg.max_features
 
     # Fill grids that are below the target population.
     pool_grid = _grid_code(state.pts0, img_shape, cfg)
@@ -229,16 +306,6 @@ def _add_new_features(
         jnp.where(state.fid >= 0, pool_grid, cfg.num_grids)
     ].add(1, mode="drop")
     vacancy = jnp.maximum(fill_to - pool_count, 0)  # (G,)
-
-    # Stereo match the candidates — only when some grid actually needs a
-    # refill (most frames are fully populated; skips a whole KLT pass).
-    def do_match(_):
-        return _stereo_match(pyr0, pyr1, cand_xy, cand_valid, params, cfg, img_shape)
-
-    def no_match(_):
-        return cand_xy, jnp.zeros_like(cand_valid)
-
-    cand_pts1, cand_ok = jax.lax.cond(jnp.any(vacancy > 0), do_match, no_match, None)
 
     cgrid = _grid_code(cand_xy, img_shape, cfg)
     crank = _rank_within_group(cgrid, -cand_score, cand_ok, cfg.num_grids)
@@ -331,13 +398,21 @@ def frontend_step(
     tracked = tracked & (tracked_pts0[:, 1] >= 0) & (tracked_pts0[:, 1] <= H - 1)
     after_tracking = jnp.sum(tracked)
 
-    # --- Stereo match on the current pair.  Surviving tracks carry their
-    # previous disparity as the cam1 guess (within ~1 px frame to frame),
-    # so their stereo KLT needs only the finest two levels. ---
+    # --- Detect new-feature candidates away from the tracked features
+    # (detection runs before the stereo gate so the candidate match can
+    # share the fine-level KLT call below; a cell whose track is about to
+    # die by the stereo gate refills next frame). ---
+    cand_xy, cand_score, cand_valid = _detect_candidates(
+        tracked_pts0, tracked, pyr0_curr[0], cfg, img_shape
+    )
+
+    # --- Stereo match on the current pair: surviving tracks (carried
+    # disparity guess, finest two levels) and candidates (extrinsic guess,
+    # full pyramid) in one merged fine-level pass. ---
     disparity_guess = tracked_pts0 + (state.pts1 - state.pts0)
-    pts1, matched = _stereo_match(
-        pyr0_curr, pyr1_curr, tracked_pts0, tracked, params, cfg, img_shape,
-        guess=disparity_guess,
+    (pts1, matched), (cand_pts1, cand_ok) = _stereo_match_merged(
+        pyr0_curr, pyr1_curr, tracked_pts0, disparity_guess, tracked,
+        cand_xy, cand_valid, params, cfg, img_shape,
     )
     after_matching = jnp.sum(matched)
 
@@ -365,9 +440,10 @@ def frontend_step(
         lifetime=jnp.where(surv, state.lifetime + 1, 0),
     )
 
-    # --- Detect + add new features; prune overfull grids. ---
-    state = _add_new_features(
-        state, pyr0_curr, pyr1_curr, params, cfg, img_shape, cfg.grid_min_feature_num
+    # --- Fill under-populated grids with matched candidates; prune. ---
+    state = _allocate_new_features(
+        state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, img_shape,
+        cfg.grid_min_feature_num,
     )
     state = _prune_grid_features(state, cfg, img_shape)
 

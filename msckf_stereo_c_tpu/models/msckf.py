@@ -118,7 +118,9 @@ def _gate_and_update(
     any Jacobian work (only ~10-20 tracks finish per frame; computing
     gating Cholesky lanes for the whole pool is wasted work).  Overflow
     candidates are dropped from the update only — their map entries are
-    handled by the caller exactly as if gated out.
+    handled by the caller exactly as if gated out.  The hot callers compact
+    *before* triangulation via ``_compact_candidates`` and pass
+    ``max_update=0`` here.
 
     ``cam_idx`` (schur only): (Mc,) camera slots when every used
     observation lives in those slots (the 2-slot prune update).  The whole
@@ -164,6 +166,19 @@ def _gate_and_update(
     return measurement_update(state, jacs, use, params.sigma2, method=method)
 
 
+def _compact_candidates(candidates: jnp.ndarray, max_update: int):
+    """Stable indices of (at most) ``max_update`` candidate tracks, selected
+    candidates first.  Compacting *before* triangulation means the LM solver
+    runs over 32 slots instead of the whole pool; a candidate that later
+    fails triangulation wastes a slot, which only matters in the rare frame
+    with more than ``max_update`` candidates (the cap itself already departs
+    from the uncapped reference there)."""
+    K = candidates.shape[0]
+    if not max_update or max_update >= K:
+        return jnp.arange(K, dtype=jnp.int32)
+    return jnp.argsort(~candidates)[:max_update].astype(jnp.int32)
+
+
 def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
     """Triangulate + update with tracks that lost tracking this frame
     (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
@@ -179,23 +194,28 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, 
     drop_only = lost & (n_obs < 3)
     candidates = lost & (n_obs >= 3)
 
+    idx = _compact_candidates(candidates, max_update)
+    obs_c = tracks.obs[idx]
+    obs_valid_c = tracks.obs_valid[idx]
+    initialized_c = tracks.initialized[idx]
+
     # Motion check + triangulation for not-yet-initialized candidates.
     motion_ok = check_motion_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs_c, obs_valid_c, state.cams.q, state.cams.p,
         params.feature_translation_threshold,
     )
     tri = triangulate_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs_c, obs_valid_c, state.cams.q, state.cams.p,
         params.R_c0_c1, params.t_c0_c1,
     )
-    init_ok = jnp.where(tracks.initialized, True, motion_ok & tri.valid)
-    pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
+    init_ok = jnp.where(initialized_c, True, motion_ok & tri.valid)
+    pos = jnp.where(initialized_c[:, None], tracks.pos[idx], tri.pos_w)
 
-    use = candidates & init_ok
-    dof = jnp.clip(n_obs - 1, 1, 99)
+    use = candidates[idx] & init_ok
+    dof = jnp.clip(n_obs[idx] - 1, 1, 99)
     state = _gate_and_update(
-        state, params, method, pos, tracks.obs,
-        tracks.obs_valid & use[:, None], use, dof, max_update, ns_iters=ns_iters,
+        state, params, method, pos, obs_c,
+        obs_valid_c & use[:, None], use, dof, ns_iters=ns_iters,
     )
 
     # All processed or too-short tracks leave the map.
@@ -225,42 +245,54 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_
     active = tracks.fid >= 0
     update_cand = active & (involved >= 2)
 
+    idx = _compact_candidates(update_cand, max_update)
+    obs_k = tracks.obs[idx]
+    obs_valid_k = tracks.obs_valid[idx]
+    initialized_k = tracks.initialized[idx]
+    cand_k = update_cand[idx]
+
     motion_ok = check_motion_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs_k, obs_valid_k, state.cams.q, state.cams.p,
         params.feature_translation_threshold,
     )
     tri = triangulate_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs_k, obs_valid_k, state.cams.q, state.cams.p,
         params.R_c0_c1, params.t_c0_c1,
     )
-    init_ok = jnp.where(tracks.initialized, True, motion_ok & tri.valid)
-    pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
-    newly_init = update_cand & ~tracks.initialized & motion_ok & tri.valid
+    init_ok = jnp.where(initialized_k, True, motion_ok & tri.valid)
+    pos = jnp.where(initialized_k[:, None], tracks.pos[idx], tri.pos_w)
+    newly_init = cand_k & ~initialized_k & motion_ok & tri.valid
 
-    use = update_cand & init_ok
-    dof = jnp.clip(involved, 1, 99)
+    use = cand_k & init_ok
+    dof = jnp.clip(involved[idx], 1, 99)
+    involved_mask_k = involved_mask[idx]
     if method == "schur":
         # Every used observation lives in the two pruned slots, so the
         # gate+update runs camera-compacted: (K, 8, 8) gating systems and a
         # rank-12 EKF update instead of (K, 4M, 4M) + a (D, D) solve.
         cam_idx = jnp.stack([slot_a, slot_b])
-        obs_c = tracks.obs[:, cam_idx]
-        mask_c = (involved_mask & use[:, None])[:, cam_idx]
+        obs_c = obs_k[:, cam_idx]
+        mask_c = (involved_mask_k & use[:, None])[:, cam_idx]
         state = _gate_and_update(
-            state, params, method, pos, obs_c, mask_c, use, dof, max_update,
+            state, params, method, pos, obs_c, mask_c, use, dof,
             cam_idx=cam_idx, ns_iters=ns_iters,
         )
     else:
         state = _gate_and_update(
-            state, params, method, pos, tracks.obs,
-            involved_mask & use[:, None], use, dof, max_update, ns_iters=ns_iters,
+            state, params, method, pos, obs_k,
+            involved_mask_k & use[:, None], use, dof, ns_iters=ns_iters,
         )
 
     # Persist positions of tracks initialized during this phase (the
-    # reference keeps Feature::position for later updates).
+    # reference keeps Feature::position for later updates; scatter the
+    # compacted slots back into the pool).
     tracks = state.tracks._replace(
-        pos=jnp.where(newly_init[:, None], pos, state.tracks.pos),
-        initialized=state.tracks.initialized | newly_init,
+        pos=state.tracks.pos.at[idx].set(
+            jnp.where(newly_init[:, None], pos, state.tracks.pos[idx])
+        ),
+        initialized=state.tracks.initialized.at[idx].set(
+            state.tracks.initialized[idx] | newly_init
+        ),
     )
     # Delete the involved observations from every track.
     tracks = tracks._replace(obs_valid=tracks.obs_valid & ~involved_mask)

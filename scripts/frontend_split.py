@@ -44,8 +44,9 @@ d_img1 = jnp.asarray(img1, jnp.float32)
 d_t = jnp.asarray(frame_t)
 
 _orig_klt_fn = fe._klt_fn
-_orig_stereo = fe._stereo_match
-_orig_add = fe._add_new_features
+_orig_stereo = fe._stereo_match_merged
+_orig_detect = fe._detect_candidates
+_orig_alloc = fe._allocate_new_features
 _orig_publish = fe._publish
 
 
@@ -55,18 +56,28 @@ def identity_klt(levels0, levels1, pts0, guess, valid, win, iters, eps):
 
 def run_variant(name):
     fe._klt_fn = _orig_klt_fn
-    fe._stereo_match = _orig_stereo
-    fe._add_new_features = _orig_add
+    fe._stereo_match_merged = _orig_stereo
+    fe._detect_candidates = _orig_detect
+    fe._allocate_new_features = _orig_alloc
     fe._publish = _orig_publish
     if name == "noklt":
         fe._klt_fn = lambda impl: identity_klt
     elif name == "nostereo":
-        fe._stereo_match = lambda pyr0, pyr1, pts0, valid, params, cfg, shape, guess=None: (
-            pts0 if guess is None else guess,
-            valid,
+        fe._stereo_match_merged = (
+            lambda pyr0, pyr1, pts_surv, surv_guess, surv_valid, cand_xy, cand_valid, params, cfg, shape: (
+                (surv_guess, surv_valid),
+                (cand_xy, cand_valid),
+            )
         )
     elif name == "noadd":
-        fe._add_new_features = lambda state, pyr0, pyr1, params, cfg, shape, fill_to: state
+        fe._detect_candidates = lambda pts0, pts_valid, img_top, cfg, shape: (
+            jnp.zeros((cfg.num_grids * cfg.grid_max_feature_num, 2), jnp.float32),
+            jnp.zeros((cfg.num_grids * cfg.grid_max_feature_num,), jnp.float32),
+            jnp.zeros((cfg.num_grids * cfg.grid_max_feature_num,), bool),
+        )
+        fe._allocate_new_features = (
+            lambda state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, shape, fill_to: state
+        )
     elif name == "nopub":
         fe._publish = lambda state, params, cfg, dtype: (
             state.fid,
