@@ -61,7 +61,14 @@ def main():
 
     calib = load_camchain(args.camchain) if args.camchain else EUROC_CALIB
     fcfg = load_frontend_config(args.imgproc_config) if args.imgproc_config else FrontendConfig()
-    mcfg = load_filter_config(args.msckf_config) if args.msckf_config else FilterConfig()
+    # On TPU the schur path defaults to the Newton-Schulz solvers (batched
+    # MXU matmuls; XLA's Cholesky lowering is column-sequential).  10
+    # iterations cover conditioning ~3e4 — two orders beyond the max
+    # observed on stressed runs (c/min_eig ~3e2).  A yaml ns_iters wins.
+    base_mcfg = FilterConfig()
+    if args.platform == "tpu" and args.method == "schur" and not args.f64:
+        base_mcfg = FilterConfig(ns_iters=10)
+    mcfg = load_filter_config(args.msckf_config, base_mcfg) if args.msckf_config else base_mcfg
 
     print(f"loading sequence {args.mav0} ...")
     seq = load_sequence(args.mav0)

@@ -43,7 +43,7 @@ def main():
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the
     # column-sequential Cholesky lowerings) are the hardware default;
     # BENCH_NS_ITERS=0 restores exact factorizations.
-    mcfg = FilterConfig(ns_iters=int(os.environ.get("BENCH_NS_ITERS", "14")))
+    mcfg = FilterConfig(ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")))
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100"))

@@ -109,8 +109,10 @@ class FilterConfig:
     # 0 = exact factorizations (Cholesky; the CPU/f64 validation path).
     # >0 = scaled Newton-Schulz inverse with that many iterations — pure
     # batched MXU matmuls, no sequential column loops (the TPU fast path;
-    # each iteration quadruples the spectral floor, 14 covers condition
-    # numbers ~1e7, beyond f32 solve accuracy anyway).
+    # each iteration quadruples the spectral floor).  The TPU drivers use
+    # 10: covers conditioning ~3e4 where the max observed c/min_eig on
+    # stressed runs is ~3e2 (scripts-measured), and fast-motion ATE is
+    # identical at 8/10/14 iterations.
     ns_iters: int = 0
 
     @property
@@ -273,10 +275,10 @@ def load_frontend_config(path: str) -> FrontendConfig:
     )
 
 
-def load_filter_config(path: str) -> FilterConfig:
+def load_filter_config(path: str, base: FilterConfig | None = None) -> FilterConfig:
     with open(path) as f:
         node = yaml.safe_load(f)
-    base = FilterConfig()
+    base = base if base is not None else FilterConfig()
     return dataclasses.replace(
         base,
         frame_rate=float(node.get("frame_rate", base.frame_rate)),

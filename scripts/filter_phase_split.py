@@ -33,7 +33,7 @@ from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, 
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
 fcfg = FrontendConfig(temporal_levels=2)
-mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "14")))
+mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "10")))
 dtype = jnp.float32
 B = int(os.environ.get("FPS_BATCH", "16"))
 n_frames = int(os.environ.get("FPS_FRAMES", "50"))

@@ -30,7 +30,7 @@ from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, 
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
 fcfg = FrontendConfig(temporal_levels=2)
-mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "14")))
+mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "10")))
 dtype = jnp.float32
 B = int(os.environ.get("LPS_BATCH", "16"))
 n_frames = int(os.environ.get("LPS_FRAMES", "50"))
@@ -73,29 +73,33 @@ def lost_prefix(state, params, upto):
     n_obs = jnp.sum(tracks.obs_valid, axis=1)
     candidates = lost & (n_obs >= 3)
 
+    # Mirrors the shipped order: compact to max_update_tracks slots BEFORE
+    # the motion check / triangulation (msckf._compact_candidates).
+    from msckf_stereo_c_tpu.models.msckf import _compact_candidates
+
+    idx = _compact_candidates(candidates, mcfg.max_update_tracks)
+    obs = tracks.obs[idx]
+    obs_valid = tracks.obs_valid[idx]
+    initialized = tracks.initialized[idx]
+
     motion_ok = check_motion_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs, obs_valid, state.cams.q, state.cams.p,
         params.feature_translation_threshold,
     )
     if upto == "mot":
         return state, motion_ok.astype(state.P.dtype)
     tri = triangulate_tracks(
-        tracks.obs, tracks.obs_valid, state.cams.q, state.cams.p,
+        obs, obs_valid, state.cams.q, state.cams.p,
         params.R_c0_c1, params.t_c0_c1,
     )
-    init_ok = jnp.where(tracks.initialized, True, motion_ok & tri.valid)
-    pos = jnp.where(tracks.initialized[:, None], tracks.pos, tri.pos_w)
+    init_ok = jnp.where(initialized, True, motion_ok & tri.valid)
+    pos = jnp.where(initialized[:, None], tracks.pos[idx], tri.pos_w)
     if upto == "tri":
         return state, pos
 
-    use = candidates & init_ok
-    dof = jnp.clip(n_obs - 1, 1, 99)
-    max_update = mcfg.max_update_tracks
-    obs, obs_mask = tracks.obs, tracks.obs_valid & use[:, None]
-    if max_update and max_update < use.shape[0]:
-        order = jnp.argsort(~use)
-        idx = order[:max_update]
-        pos, obs, obs_mask, use, dof = pos[idx], obs[idx], obs_mask[idx], use[idx], dof[idx]
+    use = candidates[idx] & init_ok
+    dof = jnp.clip(n_obs[idx] - 1, 1, 99)
+    obs_mask = obs_valid & use[:, None]
 
     blocks = track_blocks(
         pos, obs, obs_mask, state.cams, state.gravity,
