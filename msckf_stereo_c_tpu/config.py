@@ -65,6 +65,14 @@ class FrontendConfig:
     # synthetic ATE 0.167 m with 4 levels vs 0.116 m with 2; smooth-motion
     # 0.0214 vs 0.0199).  Deliberate deviation from the reference.
     temporal_levels: int = 2
+    # Pyramid levels searched by the stereo (cam0->cam1) KLT for SURVIVING
+    # tracks (candidates always walk the full pyramid from the extrinsic
+    # guess).  Survivors carry their previous disparity, which moves ~1 px
+    # per frame at EuRoC speeds — inside the full-res search radius, so 1
+    # level suffices (measured: 948 vs 898 fps; synthetic bench ATE 0.0066
+    # vs 0.0037 m, both ~20x under the 0.13 m gate; fast-motion gates pass).
+    # Set 2 to restore the previous two-level refinement.
+    stereo_levels: int = 1
 
     @property
     def num_grids(self) -> int:
@@ -272,6 +280,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
         stereo_threshold=float(node.get("stereo_threshold", base.stereo_threshold)),
         klt_impl=str(node.get("klt_impl", base.klt_impl)),
         temporal_levels=int(node.get("temporal_levels", base.temporal_levels)),
+        stereo_levels=int(node.get("stereo_levels", base.stereo_levels)),
     )
 
 

@@ -233,16 +233,16 @@ def _stereo_match_merged(
 ):
     """Stereo match surviving tracks AND detection candidates in one pass.
 
-    Surviving tracks carry their previous disparity (within ~1 px) and need
-    only the two finest levels; candidates start from the extrinsic-rotation
-    guess and walk the coarse levels first (reference stereoMatch,
-    image_processor.cpp:534-620).  Both end on the SAME two finest levels,
-    so those run as a single concatenated KLT call (per-call dispatch
-    dominates at these sizes — see docs/BENCH_NOTES.md) and the epipolar
-    gate runs once over the union.  Level-by-level numerics are identical
-    to the separate calls: the coarse sub-call's per-level iteration matches
-    the full-pyramid walk, and validity is only ever taken from the final
-    full-resolution level."""
+    Surviving tracks carry their previous disparity (within ~1-2 px: at
+    EuRoC speeds the per-frame depth change moves disparity by ~1 px, well
+    inside the full-res search radius) and need ONLY the full-resolution
+    level; candidates start from the extrinsic-rotation guess and walk the
+    coarse levels first (reference stereoMatch, image_processor.cpp:534-620).
+    Both end on the SAME full-resolution level, which runs as a single
+    concatenated KLT call (per-level cost is per-feature-lane — see
+    docs/BENCH_NOTES.md) with one epipolar gate over the union.  Candidate
+    numerics are identical level-by-level to a full-pyramid walk; validity
+    is only ever taken from the final full-resolution level."""
     H, W = img_shape
     klt = _klt_fn(cfg.klt_impl)
 
@@ -255,16 +255,28 @@ def _stereo_match_merged(
             pyr0[2:], pyr1[2:], cand_xy / s, cguess / s, cand_valid,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
         )
-        # Coarse levels only refine the guess; their validity checks belong
+        # Non-final levels only refine the guess; validity checks belong
         # to the final level (run below at full resolution).
         cguess = res_c.pts * s
+    sl = max(1, min(cfg.stereo_levels, len(pyr0)))
+    if len(pyr0) > sl:
+        # Candidate-only walk of the levels between the coarse pair and the
+        # shared fine levels (with the default sl=1 this is level 1).
+        for lvl in range(min(2, len(pyr0)) - 1, sl - 1, -1):
+            s = float(2 ** lvl)
+            res_m = klt(
+                pyr0[lvl:lvl + 1], pyr1[lvl:lvl + 1], cand_xy / s, cguess / s,
+                cand_valid,
+                win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+            )
+            cguess = res_m.pts * s
 
     n_surv = pts_surv.shape[0]
     pts0 = jnp.concatenate([pts_surv, cand_xy], axis=0)
     guess = jnp.concatenate([surv_guess, cguess], axis=0)
     valid = jnp.concatenate([surv_valid, cand_valid], axis=0)
     res = klt(
-        pyr0[:2], pyr1[:2], pts0, guess, valid,
+        pyr0[:sl], pyr1[:sl], pts0, guess, valid,
         win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
     )
     pts1 = res.pts
