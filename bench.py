@@ -33,11 +33,11 @@ def main():
     from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
     from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
-    # IMU-seeded temporal tracking needs only the finest 2 pyramid levels
+    # IMU-seeded temporal tracking needs only the finest pyramid level
     # (validated by the ATE side-channel printed below; BENCH_TEMPORAL_LEVELS
     # to override).
     fcfg = FrontendConfig(
-        temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "2")),
+        temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "1")),
         klt_impl=os.environ.get("BENCH_KLT", FrontendConfig.klt_impl),
     )
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the

@@ -62,9 +62,10 @@ class FrontendConfig:
     # reference always uses all 4, but with IMU-seeded guesses the coarse
     # levels are redundant AND harmful: their wide search windows alias
     # onto neighboring features in dense scenes (measured: fast-motion
-    # synthetic ATE 0.167 m with 4 levels vs 0.116 m with 2; smooth-motion
-    # 0.0214 vs 0.0199).  Deliberate deviation from the reference.
-    temporal_levels: int = 2
+    # synthetic ATE 0.167 m with 4 levels vs 0.116 with 2 vs 0.101 with 1 —
+    # and 1 keeps more tracks; smooth-motion bench ATE 0.0059 with 1 vs
+    # 0.0066 with 2).  Deliberate deviation from the reference.
+    temporal_levels: int = 1
     # Pyramid levels searched by the stereo (cam0->cam1) KLT for SURVIVING
     # tracks (candidates always walk the full pyramid from the extrinsic
     # guess).  Survivors carry their previous disparity, which moves ~1 px

@@ -1,5 +1,5 @@
 from .state import FilterState, ImuState, CamStates, TrackMap, init_filter_state
-from .propagation import ImuBatch, initialize_gravity_bias, process_model_step, propagate
+from .propagation import ImuBatch, initialize_gravity_bias, process_model_step, propagate, propagate_sequential
 from .augmentation import add_feature_observations, augment_state
 from .triangulation import triangulate_track, triangulate_tracks, check_motion_tracks
 from .update import (

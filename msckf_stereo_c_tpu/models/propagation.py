@@ -182,9 +182,10 @@ def _imu_step(imu: ImuState, t, m_gyro, m_acc, Q_imu, gravity, valid):
     return new_imu, Phi, Q
 
 
-def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> FilterState:
-    """Batch IMU propagation (reference batchImuProcessing,
-    msckf_vio.cpp:377-407).
+def propagate_sequential(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> FilterState:
+    """Batch IMU propagation as a sequential scan (reference
+    batchImuProcessing, msckf_vio.cpp:377-407) — the validation reference
+    for ``propagate``.
 
     The scan composes the per-sample 21x21 transition/noise pairs
     (Phi_acc <- Phi_i Phi_acc, Q_acc <- Phi_i Q_acc Phi_i^T + Q_i) and the
@@ -193,7 +194,6 @@ def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> Filter
     L tiny 21 x 21 ones plus a single big one (the per-step symmetrization
     of the reference collapses into one final symmetrization)."""
     dtype = state.P.dtype
-    D = state.P.shape[0]
     eye21 = jnp.eye(21, dtype=dtype)
     # The IMU stream may arrive in f64 (host packing); the filter dtype wins.
     batch = ImuBatch(
@@ -216,10 +216,177 @@ def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> Filter
         (state.imu, eye21, jnp.zeros((21, 21), dtype)),
         (batch.time, batch.gyro, batch.acc, batch.valid),
     )
+    return _apply_propagation(state, imu, Phi_acc, Q_acc)
 
+
+def _apply_propagation(state: FilterState, imu: ImuState, Phi_acc, Q_acc) -> FilterState:
     P = state.P
     P = P.at[:21, :].set(Phi_acc @ P[:21, :])
     P = P.at[:, :21].set(P[:, :21] @ Phi_acc.T)
     P = P.at[:21, :21].add(Q_acc)
     P = 0.5 * (P + P.T)
     return state._replace(imu=imu, P=P)
+
+
+def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> FilterState:
+    """Batch IMU propagation with log-depth sequential structure — the
+    default path (equivalent to ``propagate_sequential`` up to fp
+    reassociation; tested).
+
+    The sequential scan's per-step work is almost entirely parallelizable
+    once the quaternion prefix is known (gyro/acc biases are constant over
+    the frame batch, as in the reference):
+
+      1. dt per sample from a running max of accepted times (the scan's
+         "time only advances on accepted samples" rule equals a cummax
+         because acceptance is exactly a new running maximum).
+      2. The closed-form quaternion update is a 4x4 matrix product chain
+         -> associative prefix scan gives every step's start quaternion.
+      3. RK4 v/p increments depend only on (q_i, acc_i, gravity), never on
+         v_i or p_i -> batched evaluation + two cumsums.
+      4. F_i, Phi_i, and the OC/FEJ row fix depend on per-step start/end
+         states (the FEJ shadow at step i equals the step-i start state
+         once any earlier sample stepped) -> batched evaluation.
+      5. (Phi, Q) pairs compose associatively:
+         (Phi_b, Q_b) o (Phi_a, Q_a) = (Phi_b Phi_a, Phi_b Q_a Phi_b^T + Q_b)
+         -> associative reduction to the per-frame total.
+
+    Wall-clock motivation: the scan is launch-bound (L sequential groups of
+    ~40 tiny ops); this form is ~60 BATCHED ops with log2(L) matmul depth."""
+    dtype = state.P.dtype
+    L = batch.time.shape[0]
+    t = batch.time.astype(dtype)
+    gyro_m = batch.gyro.astype(dtype)
+    acc_m = batch.acc.astype(dtype)
+    valid = batch.valid
+    imu0 = state.imu
+    gravity = state.gravity
+
+    # --- 1. Per-sample dt (sequential accept rule == running max). ---
+    t_masked = jnp.where(valid, t, -jnp.inf)
+    run_max = jnp.maximum(jax.lax.associative_scan(jnp.maximum, t_masked), imu0.time)
+    t_prev = jnp.concatenate([imu0.time[None], run_max[:-1]])
+    stepped = valid & (t > t_prev)
+    dt = jnp.where(stepped, t - t_prev, jnp.zeros((), dtype))
+
+    gyro = gyro_m - imu0.bg  # (L, 3) constant-bias correction
+    acc = acc_m - imu0.ba
+
+    # --- 2. Quaternion prefix: q_end_i = M_i ... M_0 q0. ---
+    def omega_mat(g):
+        O = jnp.zeros((4, 4), dtype)
+        O = O.at[:3, :3].set(-skew(g))
+        O = O.at[:3, 3].set(g)
+        O = O.at[3, :3].set(-g)
+        return O
+
+    Omega = jax.vmap(omega_mat)(gyro)  # (L, 4, 4)
+    gn = jnp.linalg.norm(gyro, axis=-1)  # (L,)
+    eye4 = jnp.eye(4, dtype=dtype)
+    big = gn > 1e-5
+    safe = jnp.where(big, gn, 1.0)
+
+    def step_mat(frac):
+        ang = gn * dt * frac  # (L,)
+        m_big = jnp.cos(ang)[:, None, None] * eye4 + (jnp.sin(ang) / safe)[:, None, None] * Omega
+        m_small = (eye4 + (frac * dt)[:, None, None] * Omega) * jnp.cos(ang)[:, None, None]
+        return jnp.where(big[:, None, None], m_big, m_small)
+
+    # Half-angle convention of the closed form: frac=0.5 is the FULL step
+    # (the sequential code's dq_at(0.5)), frac=0.25 the half step.
+    M_full = step_mat(0.5)  # dt=0 -> exactly I (both branches)
+    M_pre = jax.lax.associative_scan(lambda a, b: jnp.einsum("...ij,...jk->...ik", b, a), M_full)
+    q_end = quat_normalize(jnp.einsum("lij,j->li", M_pre, imu0.q))  # (L, 4)
+    q_start = jnp.concatenate([imu0.q[None], q_end[:-1]], axis=0)
+
+    # Half-step quaternions for the RK4 midpoint stages.
+    q_mid = quat_normalize(jnp.einsum("lij,lj->li", step_mat(0.25), q_start))
+
+    R_start_T = jnp.swapaxes(jax.vmap(jpl_to_rot)(q_start), -1, -2)  # (L,3,3)
+    R_mid_T = jnp.swapaxes(jax.vmap(jpl_to_rot)(q_mid), -1, -2)
+    R_end_T = jnp.swapaxes(jax.vmap(jpl_to_rot)(q_end), -1, -2)
+
+    # --- 3. RK4 v/p increments (independent of v_i, p_i). ---
+    k1 = jnp.einsum("lij,lj->li", R_start_T, acc) + gravity  # (L, 3)
+    k23 = jnp.einsum("lij,lj->li", R_mid_T, acc) + gravity  # k2 == k3
+    k4 = jnp.einsum("lij,lj->li", R_end_T, acc) + gravity
+    dv = (dt / 6.0)[:, None] * (k1 + 4.0 * k23 + k4)
+    v_end = imu0.v + jnp.cumsum(dv, axis=0)
+    v_start = jnp.concatenate([imu0.v[None], v_end[:-1]], axis=0)
+    # dp = dt v_i + dt^2/6 (k1 + k2 + k3); see the sequential k*_p chain.
+    dp = dt[:, None] * v_start + (dt * dt / 6.0)[:, None] * (k1 + 2.0 * k23)
+    p_end = imu0.p + jnp.cumsum(dp, axis=0)
+    p_start = jnp.concatenate([imu0.p[None], p_end[:-1]], axis=0)
+
+    # --- 4. Per-step Phi + OC fix (batched). ---
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def phi_i(R_wi_T, dt_i, g_i, a_i, q_new, v_new, p_new, qn, vn, pn):
+        F = jnp.zeros((21, 21), dtype)
+        F = F.at[0:3, 0:3].set(-skew(g_i))
+        F = F.at[0:3, 3:6].set(-eye3)
+        F = F.at[6:9, 0:3].set(-R_wi_T @ skew(a_i))
+        F = F.at[6:9, 9:12].set(-R_wi_T)
+        F = F.at[12:15, 6:9].set(eye3)
+        Fdt = F * dt_i
+        Fdt2 = Fdt @ Fdt
+        Phi = jnp.eye(21, dtype=dtype) + Fdt + 0.5 * Fdt2 + (1.0 / 6.0) * (Fdt2 @ Fdt)
+
+        R_kk_1 = jpl_to_rot(qn)
+        Phi = Phi.at[0:3, 0:3].set(jpl_to_rot(q_new) @ R_kk_1.T)
+        u = R_kk_1 @ gravity
+        s = u / jnp.dot(u, u)
+        A1 = Phi[6:9, 0:3]
+        w1 = skew(vn - v_new) @ gravity
+        Phi = Phi.at[6:9, 0:3].set(A1 - jnp.outer(A1 @ u - w1, s))
+        A2 = Phi[12:15, 0:3]
+        w2 = skew(dt_i * vn + pn - p_new) @ gravity
+        Phi = Phi.at[12:15, 0:3].set(A2 - jnp.outer(A2 @ u - w2, s))
+
+        G = jnp.zeros((21, 12), dtype)
+        G = G.at[0:3, 0:3].set(-eye3)
+        G = G.at[3:6, 3:6].set(eye3)
+        G = G.at[6:9, 6:9].set(-R_wi_T)
+        G = G.at[9:12, 9:12].set(eye3)
+        Q = (Phi @ G @ Q_imu @ G.T @ Phi.T) * dt_i
+        return Phi, Q
+
+    # FEJ shadow at step i = step-i start state once any earlier sample
+    # stepped; before that it is the carried (possibly diverged) shadow.
+    before = jnp.concatenate([jnp.zeros((1,), bool), jnp.cumsum(stepped)[:-1] > 0])
+    q_null = jnp.where(before[:, None], q_start, imu0.q_null)
+    v_null = jnp.where(before[:, None], v_start, imu0.v_null)
+    p_null = jnp.where(before[:, None], p_start, imu0.p_null)
+
+    Phi_all, Q_all = jax.vmap(phi_i)(
+        R_start_T, dt, gyro, acc, q_end, v_end, p_end, q_null, v_null, p_null
+    )
+    eye21 = jnp.eye(21, dtype=dtype)
+    Phi_all = jnp.where(stepped[:, None, None], Phi_all, eye21)
+    Q_all = jnp.where(stepped[:, None, None], Q_all, jnp.zeros((), dtype))
+
+    # --- 5. Associative (Phi, Q) reduction to the per-frame total. ---
+    def compose(a, b):
+        Phi_a, Q_a = a
+        Phi_b, Q_b = b
+        Phi_ba = jnp.einsum("...ij,...jk->...ik", Phi_b, Phi_a)
+        Q_ba = (
+            jnp.einsum("...ij,...jk,...lk->...il", Phi_b, Q_a, Phi_b) + Q_b
+        )
+        return Phi_ba, Q_ba
+
+    Phi_pre, Q_pre = jax.lax.associative_scan(compose, (Phi_all, Q_all))
+    Phi_acc, Q_acc = Phi_pre[-1], Q_pre[-1]
+
+    any_stepped = jnp.any(stepped)
+    last = jnp.where(any_stepped, run_max[-1], imu0.time)
+    imu = imu0._replace(
+        q=q_end[-1],
+        v=v_end[-1],
+        p=p_end[-1],
+        q_null=jnp.where(any_stepped, q_end[-1], imu0.q_null),
+        v_null=jnp.where(any_stepped, v_end[-1], imu0.v_null),
+        p_null=jnp.where(any_stepped, p_end[-1], imu0.p_null),
+        time=last,
+    )
+    return _apply_propagation(state, imu, Phi_acc, Q_acc)

@@ -27,7 +27,7 @@ from msckf_stereo_c_tpu.ops.klt import KltResult
 from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
-fcfg = FrontendConfig(temporal_levels=2)
+fcfg = FrontendConfig(temporal_levels=1)
 B = int(os.environ.get("SPLIT_BATCH", "16"))
 n_frames = int(os.environ.get("SPLIT_FRAMES", "50"))
 

@@ -29,7 +29,7 @@ from msckf_stereo_c_tpu.models.vio import VioState, init_vio_state
 from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
-fcfg = FrontendConfig(temporal_levels=2)
+fcfg = FrontendConfig(temporal_levels=1)
 mcfg = FilterConfig(ns_iters=int(os.environ.get("FPS_NS_ITERS", "10")))
 dtype = jnp.float32
 B = int(os.environ.get("LPS_BATCH", "16"))

@@ -12,7 +12,7 @@ from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, 
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
 
-@pytest.mark.parametrize("temporal_levels,ate_bound", [(2, 0.13), (4, 0.25)])
+@pytest.mark.parametrize("temporal_levels,ate_bound", [(1, 0.13), (2, 0.13), (4, 0.25)])
 def test_fast_motion_pipeline(temporal_levels, ate_bound):
     traj = make_circle_trajectory(
         duration=6.0, omega=2.0 * np.pi / 8.0, roll_amp=0.25, t_static=1.5, t_ramp=1.0
@@ -35,5 +35,5 @@ def test_fast_motion_pipeline(temporal_levels, ate_bound):
     # 2-level (default): within the reference's 0.13 m bar even under fast
     # motion.  4-level (reference-style full pyramid): measurably worse here
     # because coarse search windows alias onto neighboring features — the
-    # reason temporal_levels defaults to 2 (see FrontendConfig).
+    # reason temporal_levels defaults to 1 (see FrontendConfig).
     assert ate.rmse < ate_bound, f"fast-motion ATE {ate.rmse} (levels={temporal_levels})"
