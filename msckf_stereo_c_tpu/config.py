@@ -74,6 +74,12 @@ class FrontendConfig:
     # vs 0.0037 m, both ~20x under the 0.13 m gate; fast-motion gates pass).
     # Set 2 to restore the previous two-level refinement.
     stereo_levels: int = 1
+    # Reuse the merged stereo call's interpolated template patches as the
+    # next frame's temporal-KLT templates (same image, same positions —
+    # bit-identical, tested).  Effective only with klt_impl='corr' and
+    # temporal_levels == stereo_levels == 1; skips one patch-extraction
+    # kernel per frame.
+    tmpl_carry: bool = True
 
     @property
     def num_grids(self) -> int:
@@ -282,6 +288,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
         klt_impl=str(node.get("klt_impl", base.klt_impl)),
         temporal_levels=int(node.get("temporal_levels", base.temporal_levels)),
         stereo_levels=int(node.get("stereo_levels", base.stereo_levels)),
+        tmpl_carry=bool(node.get("tmpl_carry", base.tmpl_carry)),
     )
 
 

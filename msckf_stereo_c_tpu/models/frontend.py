@@ -24,7 +24,7 @@ from ..config import FrontendConfig, StereoCalib
 from ..ops.camera import distort_points, undistort_points
 from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
-from ..ops.klt_corr import optical_flow_pyr_lk_corr
+from ..ops.klt_corr import optical_flow_lk_corr_l0, optical_flow_pyr_lk_corr
 from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
 
 from ..ops.pyramid import build_pyramid
@@ -56,6 +56,10 @@ class TrackerState(NamedTuple):
     lifetime: jnp.ndarray  # (N,) int32
     response: jnp.ndarray  # (N,)
     next_fid: jnp.ndarray  # () int32
+    # Interpolated full-res template patches at pts0 (N, patch+2, patch+2),
+    # written by the merged stereo call and reused as the next frame's
+    # temporal-KLT templates (see FrontendConfig.tmpl_carry).
+    tmpl: jnp.ndarray
 
 
 class FrontendParams(NamedTuple):
@@ -110,6 +114,7 @@ def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParam
 
 def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
     N = cfg.max_features
+    q = cfg.patch_size + 2
     return TrackerState(
         pts0=jnp.zeros((N, 2), dtype),
         pts1=jnp.zeros((N, 2), dtype),
@@ -117,6 +122,19 @@ def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         lifetime=jnp.zeros((N,), jnp.int32),
         response=jnp.zeros((N,), dtype),
         next_fid=jnp.zeros((), jnp.int32),
+        tmpl=jnp.zeros((N, q, q), dtype),
+    )
+
+
+def _tmpl_carry_active(cfg: FrontendConfig) -> bool:
+    """Template carry requires single-level temporal AND stereo fine calls
+    of the corr implementation (the carried patch must be exactly what the
+    next call would extract: same image pair granularity, same level)."""
+    return (
+        cfg.tmpl_carry
+        and cfg.klt_impl == "corr"
+        and cfg.temporal_levels == 1
+        and cfg.stereo_levels == 1
     )
 
 
@@ -275,10 +293,18 @@ def _stereo_match_merged(
     pts0 = jnp.concatenate([pts_surv, cand_xy], axis=0)
     guess = jnp.concatenate([surv_guess, cguess], axis=0)
     valid = jnp.concatenate([surv_valid, cand_valid], axis=0)
-    res = klt(
-        pyr0[:sl], pyr1[:sl], pts0, guess, valid,
-        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-    )
+    sp_all = None
+    if _tmpl_carry_active(cfg):
+        res, sp_all = optical_flow_lk_corr_l0(
+            pyr0[0], pyr1[0], pts0, guess, valid,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+            want_tmpl=True,
+        )
+    else:
+        res = klt(
+            pyr0[:sl], pyr1[:sl], pts0, guess, valid,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+        )
     pts1 = res.pts
     ok = res.valid & valid
     ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
@@ -294,7 +320,8 @@ def _stereo_match_merged(
         line[:, 0] ** 2 + line[:, 1] ** 2 + 1e-12
     )
     ok = ok & (dist <= cfg.stereo_threshold * params.norm_pixel_unit)
-    return (pts1[:n_surv], ok[:n_surv]), (pts1[n_surv:], ok[n_surv:])
+    tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
+    return (pts1[:n_surv], ok[:n_surv]), (pts1[n_surv:], ok[n_surv:]), tmpl
 
 
 def _allocate_new_features(
@@ -306,6 +333,7 @@ def _allocate_new_features(
     cfg: FrontendConfig,
     img_shape: Tuple[int, int],
     fill_to: int,
+    cand_tmpl: jnp.ndarray | None = None,
 ):
     """Fill under-populated grids with stereo-matched candidates (reference
     addNewFeatures / initializeFirstFrame fill, image_processor.cpp:735-750).
@@ -341,11 +369,14 @@ def _allocate_new_features(
     fid = state.fid.at[target].set(new_fid, mode="drop")
     lifetime = state.lifetime.at[target].set(1, mode="drop")
     response = state.response.at[target].set(cand_score.astype(state.response.dtype), mode="drop")
+    tmpl = state.tmpl
+    if cand_tmpl is not None:
+        tmpl = tmpl.at[target].set(cand_tmpl.astype(tmpl.dtype), mode="drop")
     n_added = jnp.sum(accept & (acc_rank < n_free)).astype(jnp.int32)
 
     return state._replace(
         pts0=pts0, pts1=pts1, fid=fid, lifetime=lifetime, response=response,
-        next_fid=state.next_fid + n_added,
+        next_fid=state.next_fid + n_added, tmpl=tmpl,
     )
 
 
@@ -400,10 +431,20 @@ def frontend_step(
     active = state.fid >= 0
     klt = _klt_fn(cfg.klt_impl)
     tl = max(1, min(cfg.temporal_levels, len(pyr0_prev)))
-    res = klt(
-        pyr0_prev[:tl], pyr0_curr[:tl], state.pts0, guess, active,
-        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-    )
+    if _tmpl_carry_active(cfg):
+        # The carried patches are bit-identical to what extraction at
+        # (pyr0_prev[0], state.pts0) would produce (tested) — the merged
+        # stereo call computed them from the same image at the same points.
+        res, _ = optical_flow_lk_corr_l0(
+            pyr0_prev[0], pyr0_curr[0], state.pts0, guess, active,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+            tmpl_sp=state.tmpl,
+        )
+    else:
+        res = klt(
+            pyr0_prev[:tl], pyr0_curr[:tl], state.pts0, guess, active,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+        )
     tracked_pts0 = res.pts
     tracked = active & res.valid
     tracked = tracked & (tracked_pts0[:, 0] >= 0) & (tracked_pts0[:, 0] <= W - 1)
@@ -422,7 +463,7 @@ def frontend_step(
     # disparity guess, finest two levels) and candidates (extrinsic guess,
     # full pyramid) in one merged fine-level pass. ---
     disparity_guess = tracked_pts0 + (state.pts1 - state.pts0)
-    (pts1, matched), (cand_pts1, cand_ok) = _stereo_match_merged(
+    (pts1, matched), (cand_pts1, cand_ok), (surv_tmpl, cand_tmpl) = _stereo_match_merged(
         pyr0_curr, pyr1_curr, tracked_pts0, disparity_guess, tracked,
         cand_xy, cand_valid, params, cfg, img_shape,
     )
@@ -450,12 +491,15 @@ def frontend_step(
         pts1=jnp.where(surv[:, None], pts1, state.pts1),
         fid=jnp.where(surv, state.fid, -1),
         lifetime=jnp.where(surv, state.lifetime + 1, 0),
+        tmpl=state.tmpl if surv_tmpl is None else jnp.where(
+            surv[:, None, None], surv_tmpl.astype(state.tmpl.dtype), state.tmpl
+        ),
     )
 
     # --- Fill under-populated grids with matched candidates; prune. ---
     state = _allocate_new_features(
         state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, img_shape,
-        cfg.grid_min_feature_num,
+        cfg.grid_min_feature_num, cand_tmpl=cand_tmpl,
     )
     state = _prune_grid_features(state, cfg, img_shape)
 

@@ -205,8 +205,16 @@ def _iterate_pallas(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, hi, interpret):
     return run(sc, Cx.reshape(N, K * K), Cy.reshape(N, K * K))
 
 
-def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, final_level):
-    """One pyramid level for all N features (batched)."""
+def _track_level_corr(
+    img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, final_level,
+    tmpl_sp=None, want_tmpl=False,
+):
+    """One pyramid level for all N features (batched).
+
+    ``tmpl_sp``: optional precomputed (N, P+2, P+2) interpolated template
+    patches (as produced by a previous call with ``want_tmpl=True`` at the
+    same (image, position) pairs) — skips template extraction entirely.
+    With ``want_tmpl=True`` the return gains the template patches."""
     dtype = img_prev.dtype
     H, W = img_prev.shape
     P = win
@@ -220,8 +228,11 @@ def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
     # --- Template + gradients (one-time cost).
     T = P + 4
     if S < P + 2 or min(H, W) < T:
-        return pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
-    if mode in ("pallas", "interpret"):
+        out = pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
+        return out + (tmpl_sp,) if want_tmpl else out
+    if tmpl_sp is not None:
+        sp = tmpl_sp
+    elif mode in ("pallas", "interpret"):
         # Extract the patch at origin floor(pts - (P+1)/2) so the fractional
         # offset lies in [0,1): bilinear needs only 4 static slices (no
         # tent-weight matmuls).  Samples the same positions as the tent path
@@ -329,13 +340,41 @@ def _track_level_corr(img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, 
     pts = f + c_off + sorg
 
     if not final_level:
-        return pts, jnp.ones(pts.shape[0], bool)
+        ok = jnp.ones(pts.shape[0], bool)
+    else:
+        r = win // 2 + 1
+        ok = (pts[:, 0] >= r) & (pts[:, 0] < W - r) & (pts[:, 1] >= r) & (pts[:, 1] < H - r)
+        ok = ok & (pts_prev[:, 0] >= r) & (pts_prev[:, 0] < W - r)
+        ok = ok & (pts_prev[:, 1] >= r) & (pts_prev[:, 1] < H - r)
+        ok = good & ok
+    return (pts, ok, sp) if want_tmpl else (pts, ok)
 
-    r = win // 2 + 1
-    inb = (pts[:, 0] >= r) & (pts[:, 0] < W - r) & (pts[:, 1] >= r) & (pts[:, 1] < H - r)
-    inb = inb & (pts_prev[:, 0] >= r) & (pts_prev[:, 0] < W - r)
-    inb = inb & (pts_prev[:, 1] >= r) & (pts_prev[:, 1] < H - r)
-    return pts, good & inb
+
+def optical_flow_lk_corr_l0(
+    img_prev: jnp.ndarray,
+    img_curr: jnp.ndarray,
+    pts_prev: jnp.ndarray,
+    pts_curr_init: jnp.ndarray,
+    valid_in: jnp.ndarray,
+    win: int = 15,
+    iters: int = 30,
+    eps: float = 0.01,
+    tmpl_sp: jnp.ndarray | None = None,
+    want_tmpl: bool = False,
+):
+    """Single-level LK with template reuse: ``tmpl_sp`` (N, win+2, win+2)
+    skips template extraction (the patches must come from a previous
+    ``want_tmpl=True`` call at the same (image, position) pairs — the
+    front-end carries the merged stereo call's templates into the next
+    frame's temporal call, which reads the same image at the same points).
+    Returns (KltResult, templates or None)."""
+    out = _track_level_corr(
+        img_prev, img_curr, pts_prev, pts_curr_init, win, iters, eps, True,
+        tmpl_sp=tmpl_sp, want_tmpl=True,
+    )
+    pts, ok, sp = out
+    res = KltResult(pts=pts, valid=valid_in & ok)
+    return (res, sp) if want_tmpl else (res, None)
 
 
 def optical_flow_pyr_lk_corr(

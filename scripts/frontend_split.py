@@ -67,6 +67,7 @@ def run_variant(name):
             lambda pyr0, pyr1, pts_surv, surv_guess, surv_valid, cand_xy, cand_valid, params, cfg, shape: (
                 (surv_guess, surv_valid),
                 (cand_xy, cand_valid),
+                (None, None),
             )
         )
     elif name == "noadd":
