@@ -80,6 +80,13 @@ class FrontendConfig:
     # temporal_levels == stereo_levels == 1; skips one patch-extraction
     # kernel per frame.
     tmpl_carry: bool = True
+    # Cap the per-frame new-feature candidate set (the sieve keeps the
+    # per-grid top grid_max_feature_num; the budget then keeps the most
+    # NEEDED candidates — those whose within-grid rank is below the grid's
+    # estimated vacancy, then by response).  Candidates ride 3 KLT level
+    # calls, so lanes beyond realistic refill demand (~10-15/frame; 60 on
+    # the first frame) are pure cost.  0 disables the cap.
+    cand_budget: int = 48
 
     @property
     def num_grids(self) -> int:
@@ -289,6 +296,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
         temporal_levels=int(node.get("temporal_levels", base.temporal_levels)),
         stereo_levels=int(node.get("stereo_levels", base.stereo_levels)),
         tmpl_carry=bool(node.get("tmpl_carry", base.tmpl_carry)),
+        cand_budget=int(node.get("cand_budget", base.cand_budget)),
     )
 
 

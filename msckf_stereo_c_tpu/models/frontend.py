@@ -234,6 +234,23 @@ def _detect_candidates(
     cand_xy = jnp.zeros((C, 2), corners.xy.dtype).at[slot].set(corners.xy, mode="drop")
     cand_score = jnp.zeros((C,), corners.score.dtype).at[slot].set(corners.score, mode="drop")
     cand_valid = jnp.zeros((C,), bool).at[slot].set(corners.valid, mode="drop")
+
+    # Budget: keep the most NEEDED candidates.  Slot layout is grid-major
+    # (slot = grid * grid_max + within-grid response rank), so a candidate's
+    # "need rank" is its within-grid rank minus the grid's estimated vacancy
+    # (from the temporally-tracked points; the exact vacancy isn't known
+    # until after the stereo gate).  Sort (need rank, -response), keep B.
+    B = cfg.cand_budget
+    if B and B < C:
+        est_count = jnp.zeros((cfg.num_grids,), jnp.int32).at[
+            jnp.where(pts_valid, _grid_code(pts0, img_shape, cfg), cfg.num_grids)
+        ].add(1, mode="drop")
+        g_of_slot = jnp.arange(C, dtype=jnp.int32) // cfg.grid_max_feature_num
+        r_of_slot = jnp.arange(C, dtype=jnp.int32) % cfg.grid_max_feature_num
+        need = jnp.maximum(cfg.grid_min_feature_num - est_count, 0)
+        need_rank = jnp.where(cand_valid, r_of_slot - need[g_of_slot], C)
+        idx = jnp.lexsort((-cand_score, need_rank))[:B]
+        return cand_xy[idx], cand_score[idx], cand_valid[idx]
     return cand_xy, cand_score, cand_valid
 
 

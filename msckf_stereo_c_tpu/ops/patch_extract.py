@@ -58,6 +58,10 @@ def _kernel_factory(Hp: int, Wp: int, S: int, CHUNK: int):
                     0, pl.ds(pl.multiple_of(ay, 8), RY), pl.ds(pl.multiple_of(ax, 128), RX)
                 ]
             blk = pltpu.roll(blk, -(oy - ay), 0)
+            # Shrink before the lane roll: only ceil8(S) rows are needed,
+            # so the second roll moves a (S8, RX) block instead of (RY, RX).
+            S8 = -(-S // 8) * 8
+            blk = blk[:S8] if S8 < RY else blk
             blk = pltpu.roll(blk, -(ox - ax), 1)
             out_ref[0, f] = blk[:S, :S]
             return 0
