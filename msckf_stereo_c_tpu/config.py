@@ -84,8 +84,11 @@ class FrontendConfig:
     # per-grid top grid_max_feature_num; the budget then keeps the most
     # NEEDED candidates — those whose within-grid rank is below the grid's
     # estimated vacancy, then by response).  Candidates ride 3 KLT level
-    # calls, so lanes beyond realistic refill demand (~10-15/frame; 60 on
-    # the first frame) are pure cost.  0 disables the cap.
+    # calls, so lanes beyond steady-state refill demand (~10-15/frame) are
+    # pure cost.  48 deliberately undershoots the 60-candidate first-frame
+    # demand (20 grids x 3): 12 grids start one feature short and refill on
+    # frame two — measured ATE/fast-motion gates unchanged, +55 fps.
+    # 0 disables the cap.
     cand_budget: int = 48
 
     @property
@@ -297,6 +300,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
         stereo_levels=int(node.get("stereo_levels", base.stereo_levels)),
         tmpl_carry=bool(node.get("tmpl_carry", base.tmpl_carry)),
         cand_budget=int(node.get("cand_budget", base.cand_budget)),
+        ransac_enabled=bool(node.get("ransac_enabled", base.ransac_enabled)),
     )
 
 
@@ -331,4 +335,5 @@ def load_filter_config(path: str, base: FilterConfig | None = None) -> FilterCon
             node.get("initial_covariance/extrinsic_translation_cov", base.initial_cov_extrinsic_translation)
         ),
         ns_iters=int(node.get("ns_iters", base.ns_iters)),
+        max_update_tracks=int(node.get("max_update_tracks", base.max_update_tracks)),
     )

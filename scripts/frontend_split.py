@@ -27,7 +27,11 @@ from msckf_stereo_c_tpu.ops.klt import KltResult
 from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
 from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
 
-fcfg = FrontendConfig(temporal_levels=1)
+# tmpl_carry off: the carry path calls optical_flow_lk_corr_l0 directly,
+# which would bypass the _klt_fn/_stereo_match_merged monkeypatches and
+# make the ablations misattribute cost (profile numbers are therefore for
+# the carry-disabled pipeline; the carry saves ~one extract kernel/frame).
+fcfg = FrontendConfig(temporal_levels=1, tmpl_carry=False)
 B = int(os.environ.get("SPLIT_BATCH", "16"))
 n_frames = int(os.environ.get("SPLIT_FRAMES", "50"))
 
@@ -77,7 +81,7 @@ def run_variant(name):
             jnp.zeros((cfg.num_grids * cfg.grid_max_feature_num,), bool),
         )
         fe._allocate_new_features = (
-            lambda state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, shape, fill_to: state
+            lambda state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, shape, fill_to, cand_tmpl=None: state
         )
     elif name == "nopub":
         fe._publish = lambda state, params, cfg, dtype: (
