@@ -43,7 +43,12 @@ def main():
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the
     # column-sequential Cholesky lowerings) are the hardware default;
     # BENCH_NS_ITERS=0 restores exact factorizations.
-    mcfg = FilterConfig(ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")))
+    mcfg = FilterConfig(
+        ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")),
+        matmul_precision=os.environ.get(
+            "BENCH_FILTER_PRECISION", FilterConfig.matmul_precision
+        ),
+    )
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "100"))
@@ -84,7 +89,10 @@ def main():
             i0, i1, t, b = xs
             return vio_step(s, i0, i1, t, b, fparams, mparams, fcfg, mcfg, method)
 
-        return jax.lax.scan(step, state, (i0s, i1s, ts, bs))
+        # unroll>1 exposes cross-frame fusion to XLA (frontend of frame t+1
+        # is data-independent of the filter of frame t).
+        unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+        return jax.lax.scan(step, state, (i0s, i1s, ts, bs), unroll=unroll)
 
     run_batched = jax.jit(jax.vmap(seq_scan, in_axes=(0, None, None, None, None)))
     states0 = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), state0)

@@ -139,6 +139,12 @@ class FilterConfig:
     # stressed runs is ~3e2 (scripts-measured), and fast-motion ATE is
     # identical at 8/10/14 iterations.
     ns_iters: int = 0
+    # MXU precision for all filter-side matmuls.  "float32" (6-pass exact
+    # f32, the default) fixed both the absolute accuracy loss and the
+    # batch-tiling-dependent ATE of the MXU's bf16-pass default (see
+    # models/msckf.py:filter_step docstring).  "tensorfloat32" (3-pass)
+    # and "bfloat16" (1-pass) are measurable alternatives.
+    matmul_precision: str = "float32"
 
     @property
     def gyro_noise_var(self) -> float:
@@ -336,4 +342,5 @@ def load_filter_config(path: str, base: FilterConfig | None = None) -> FilterCon
         ),
         ns_iters=int(node.get("ns_iters", base.ns_iters)),
         max_update_tracks=int(node.get("max_update_tracks", base.max_update_tracks)),
+        matmul_precision=str(node.get("matmul_precision", base.matmul_precision)),
     )

@@ -361,8 +361,9 @@ def filter_step(
     0.004 on the bench scene) and made it batch-size dependent (B=16
     regressed to 0.14 with bit-identical lanes diverging).  The filter's
     matrices are tiny (<=D^2 with D~141), so HIGHEST precision is free;
-    the image-plane GEMMs in the front-end keep the fast default."""
-    with jax.default_matmul_precision("float32"):
+    the image-plane GEMMs in the front-end keep the fast default.
+    FilterConfig.matmul_precision exposes the 3-pass/1-pass alternatives."""
+    with jax.default_matmul_precision(cfg.matmul_precision):
         # First frame: the filter time origin is the first image timestamp
         # (featureCallback, msckf_vio.cpp:314-317).
         first = state.next_sid == 0
