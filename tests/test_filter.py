@@ -189,3 +189,25 @@ def test_prune_update_camera_compaction_exact():
     np.testing.assert_allclose(
         np.asarray(s_comp.cams.p), np.asarray(s_full.cams.p), rtol=1e-6, atol=1e-12
     )
+
+
+def test_matmul_precision_knob(world, tmp_path):
+    """FilterConfig.matmul_precision plumbs through filter_step (the context
+    manager accepts the value) and the YAML loader round-trips it.  On CPU
+    the setting is numerically inert, so the trajectory must be unchanged."""
+    from msckf_stereo_c_tpu.config import load_filter_config
+    import dataclasses
+
+    res_hi = _run(world, method="schur")
+    cfg_tf = dataclasses.replace(CFG, matmul_precision="tensorfloat32")
+    traj, imu, feats = world
+    res_tf = run_sequence(
+        cfg_tf, EUROC_CALIB, feats.t, feats.fid, feats.uv, feats.valid,
+        imu.t, imu.gyro, imu.acc, method="schur",
+    )
+    np.testing.assert_allclose(res_tf.positions, res_hi.positions, rtol=0, atol=1e-12)
+
+    p = tmp_path / "msckf.yaml"
+    p.write_text("matmul_precision: bfloat16\nns_iters: 4\n")
+    loaded = load_filter_config(str(p))
+    assert loaded.matmul_precision == "bfloat16" and loaded.ns_iters == 4
