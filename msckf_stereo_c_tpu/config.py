@@ -90,6 +90,13 @@ class FrontendConfig:
     # frame two — measured ATE/fast-motion gates unchanged, +55 fps.
     # 0 disables the cap.
     cand_budget: int = 48
+    # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
+    # resampling).  "default" keeps the platform fast path (1-pass bf16 on
+    # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob
+    # (FilterConfig.matmul_precision) — this one exists because the TPU
+    # fast-motion stress showed a front-end-precision accuracy gap vs CPU
+    # (docs/BENCH_NOTES.md).
+    matmul_precision: str = "default"
 
     @property
     def num_grids(self) -> int:
@@ -291,6 +298,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
     base = FrontendConfig()
     return dataclasses.replace(
         base,
+        matmul_precision=str(node.get("matmul_precision", base.matmul_precision)),
         grid_row=int(node.get("grid_row", base.grid_row)),
         grid_col=int(node.get("grid_col", base.grid_col)),
         grid_min_feature_num=int(node.get("grid_min_feature_num", base.grid_min_feature_num)),

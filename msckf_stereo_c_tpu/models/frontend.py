@@ -427,6 +427,29 @@ def frontend_step(
     cfg: FrontendConfig,
 ):
     """One stereo frame through the tracker.  Returns (state, FrameOutput)."""
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _frontend_step_impl(
+                state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt,
+                is_first, params, cfg,
+            )
+    return _frontend_step_impl(
+        state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt, is_first,
+        params, cfg,
+    )
+
+
+def _frontend_step_impl(
+    state: TrackerState,
+    pyr0_prev: Sequence[jnp.ndarray],
+    pyr0_curr: Sequence[jnp.ndarray],
+    pyr1_curr: Sequence[jnp.ndarray],
+    mean_gyro: jnp.ndarray,
+    dt: jnp.ndarray,
+    is_first: jnp.ndarray,
+    params: FrontendParams,
+    cfg: FrontendConfig,
+):
     img_shape = pyr0_curr[0].shape
     H, W = img_shape
     before_tracking = jnp.sum(state.fid >= 0)

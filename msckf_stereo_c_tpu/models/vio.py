@@ -70,8 +70,15 @@ def vio_step(
 ):
     """One stereo frame end-to-end (stereo_callback + backend_callback)."""
     fdtype = state.filt.P.dtype
-    pyr0 = pyramids_for(img0, fcfg)
-    pyr1 = pyramids_for(img1, fcfg)
+    if fcfg.matmul_precision != "default":
+        # The pyramid decimation GEMMs belong to the front-end precision
+        # scope (frontend_step scopes its own body).
+        with jax.default_matmul_precision(fcfg.matmul_precision):
+            pyr0 = pyramids_for(img0, fcfg)
+            pyr1 = pyramids_for(img1, fcfg)
+    else:
+        pyr0 = pyramids_for(img0, fcfg)
+        pyr1 = pyramids_for(img1, fcfg)
 
     n_valid = jnp.maximum(jnp.sum(imu.valid), 1)
     mean_gyro = jnp.sum(

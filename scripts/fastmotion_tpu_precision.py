@@ -41,15 +41,19 @@ def main():
     frame_idx = np.arange(0, traj.t.shape[0], 10)
     img0, img1 = render_stereo_sequence(traj, landmarks, frame_idx, r_wall=8.0)
 
-    precisions = sys.argv[1:] or ["float32", "tensorfloat32"]
-    fcfg = FrontendConfig(max_features=64)
-    for prec in precisions:
+    # Each arg is "<filter_precision>" or "<filter_precision>/<frontend_precision>"
+    # (frontend default = the platform fast path, 1-pass bf16 on TPU).
+    specs = sys.argv[1:] or ["float32", "tensorfloat32"]
+    for spec in specs:
+        filt_prec, _, front_prec = spec.partition("/")
+        front_prec = front_prec or "default"
+        fcfg = FrontendConfig(max_features=64, matmul_precision=front_prec)
         mcfg = FilterConfig(
             max_cam_state_size=8,
             max_tracks=80,
             max_imu_per_frame=12,
             ns_iters=10,
-            matmul_precision=prec,
+            matmul_precision=filt_prec,
         )
         res = run_vio_sequence(
             fcfg, mcfg, EUROC_CALIB,
@@ -60,8 +64,8 @@ def main():
         ate = evaluate_ate(res.times, res.positions, traj.t[frame_idx], traj.p[frame_idx])
         tracks = int(res.tracking["after_ransac"][-20:].min())
         print(
-            f"precision={prec:15s} ate_rmse={ate.rmse:.4f}m "
-            f"min_tracks_last20={tracks}",
+            f"filter={filt_prec:15s} frontend={front_prec:15s} "
+            f"ate_rmse={ate.rmse:.4f}m min_tracks_last20={tracks}",
             flush=True,
         )
 
