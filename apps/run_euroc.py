@@ -37,6 +37,12 @@ def main():
         "--debug-dump", default=None,
         help="write per-frame tracking counters (the reference's debug_imageprocessor.txt)",
     )
+    ap.add_argument(
+        "--cov-out", default=None,
+        help="write a per-pose position-covariance sidecar "
+        "(t p11 p12 p13 p22 p23 p33; the reference marshals this block "
+        "then discards it, msckf_vio.cpp:1262-1293)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -88,26 +94,36 @@ def main():
 
     filter_dtype = jnp.float64 if args.f64 else jnp.float32
 
-    # Stream decode + run in chunks to bound host memory.
+    # Stream decode + run in chunks to bound host memory.  Per-phase timing
+    # + the frame-budget overrun report are the production analog of the
+    # reference's red-ANSI featureCallback timers (msckf_vio.cpp:321-372).
+    from msckf_stereo_c_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer(frame_budget_s=1.0 / mcfg.frame_rate)
     t_start = time.time()
     state = None
     all_res = []
-    from msckf_stereo_c_tpu.models.vio import VioResult  # noqa: F401
 
     # Chunked decode + run.
     c = args.chunk
     for s0 in range(0, len(times), c):
         s1 = min(s0 + c, len(times))
-        imgs0 = load_images(files0[s0:s1])
-        imgs1 = load_images(files1[s0:s1])
-        r = run_vio_sequence(
-            fcfg, mcfg, calib,
-            times[s0:s1], imgs0, imgs1,
-            imu_t, seq.imu.gyro, seq.imu.acc,
-            filter_dtype=filter_dtype,
-            method=args.method,
-            state=state,
-        )
+        with timer.phase("decode_images"):
+            imgs0 = load_images(files0[s0:s1])
+            imgs1 = load_images(files1[s0:s1])
+        t_chunk = time.time()
+        with timer.phase("vio_chunk"):
+            r = run_vio_sequence(
+                fcfg, mcfg, calib,
+                times[s0:s1], imgs0, imgs1,
+                imu_t, seq.imu.gyro, seq.imu.acc,
+                filter_dtype=filter_dtype,
+                method=args.method,
+                state=state,
+            )
+        # Budget check at chunk granularity (mean frame time over the chunk;
+        # the first chunk absorbs compilation and will overrun by design).
+        timer.frame_done((time.time() - t_chunk) / (s1 - s0))
         state = r.final_state
         all_res.append(r)
         el = time.time() - t_start
@@ -131,8 +147,25 @@ def main():
             ar = np.concatenate([r.tracking["after_ransac"] for r in all_res])
             for i in range(len(times_out)):
                 f.write(f"{times_out[i]:.6f} {bt[i]} {at[i]} {am[i]} {ar[i]}\n")
+    if args.cov_out:
+        cov = np.concatenate([r.pos_cov for r in all_res])  # (T, 3, 3)
+        with open(args.cov_out, "w") as f:
+            f.write("# time p11 p12 p13 p22 p23 p33\n")
+            for i in range(len(times_out)):
+                c_ = cov[i]
+                f.write(
+                    f"{times_out[i]:.6f} {c_[0,0]:.9e} {c_[0,1]:.9e} {c_[0,2]:.9e} "
+                    f"{c_[1,1]:.9e} {c_[1,2]:.9e} {c_[2,2]:.9e}\n"
+                )
     wall = time.time() - t_start
     print(f"wrote {args.out}; {len(times)} frames in {wall:.1f}s = {len(times)/wall:.1f} fps")
+    print(timer.report())
+    if timer.overruns:
+        # The reference prints its overrun report in red ANSI (msckf_vio.cpp:363-372).
+        print(
+            f"\x1b[31m{timer.overruns} chunk(s) exceeded the "
+            f"{1.0 / mcfg.frame_rate * 1e3:.0f} ms/frame budget\x1b[0m"
+        )
 
     if args.ate and seq.gt is not None:
         ate = evaluate_ate(times_out, pos, seq.gt.t, seq.gt.p)

@@ -23,6 +23,40 @@ Vec3 = Tuple[float, float, float]
 Vec4 = Tuple[float, float, float, float]
 Mat4 = Tuple[float, ...]  # 16 row-major entries
 
+# The values jax.default_matmul_precision accepts, plus "default" (= leave
+# the platform fast path in place).  Validated at config construction so a
+# typo fails with a clear error instead of an opaque trace-time failure on
+# the first frame.
+VALID_MATMUL_PRECISIONS = (
+    "default",
+    "bfloat16",
+    "bfloat16_3x",
+    "tensorfloat32",
+    "float32",
+    "highest",
+)
+
+
+def _check_matmul_precision(value: str) -> None:
+    if value not in VALID_MATMUL_PRECISIONS:
+        raise ValueError(
+            f"matmul_precision={value!r} is not one of {VALID_MATMUL_PRECISIONS}"
+        )
+
+
+def matmul_precision_scope(precision: str):
+    """Context manager scoping jax matmul precision; no-op for "default".
+
+    Single home for the if-default-else branching previously duplicated at
+    the vio_step / frontend_step call sites."""
+    import contextlib
+
+    import jax
+
+    if precision == "default":
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
+
 
 @dataclasses.dataclass(frozen=True)
 class FrontendConfig:
@@ -98,6 +132,9 @@ class FrontendConfig:
     # (docs/BENCH_NOTES.md).
     matmul_precision: str = "default"
 
+    def __post_init__(self):
+        _check_matmul_precision(self.matmul_precision)
+
     @property
     def num_grids(self) -> int:
         return self.grid_row * self.grid_col
@@ -152,6 +189,9 @@ class FilterConfig:
     # models/msckf.py:filter_step docstring).  "tensorfloat32" (3-pass)
     # and "bfloat16" (1-pass) are measurable alternatives.
     matmul_precision: str = "float32"
+
+    def __post_init__(self):
+        _check_matmul_precision(self.matmul_precision)
 
     @property
     def gyro_noise_var(self) -> float:

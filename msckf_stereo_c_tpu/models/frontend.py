@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FrontendConfig, StereoCalib
+from ..config import FrontendConfig, StereoCalib, matmul_precision_scope
 from ..ops.camera import distort_points, undistort_points
 from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
@@ -427,16 +427,11 @@ def frontend_step(
     cfg: FrontendConfig,
 ):
     """One stereo frame through the tracker.  Returns (state, FrameOutput)."""
-    if cfg.matmul_precision != "default":
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return _frontend_step_impl(
-                state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt,
-                is_first, params, cfg,
-            )
-    return _frontend_step_impl(
-        state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt, is_first,
-        params, cfg,
-    )
+    with matmul_precision_scope(cfg.matmul_precision):
+        return _frontend_step_impl(
+            state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt,
+            is_first, params, cfg,
+        )
 
 
 def _frontend_step_impl(

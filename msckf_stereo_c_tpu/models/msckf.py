@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FilterConfig, StereoCalib
+from ..config import FilterConfig, StereoCalib, matmul_precision_scope
 from ..utils.chi2 import chi2_p95_table
 from ..utils.quaternion import jpl_to_rot, rot_to_jpl
 from .augmentation import add_feature_observations, augment_state
@@ -68,6 +68,7 @@ class PoseOutput(NamedTuple):
     time: jnp.ndarray
     p: jnp.ndarray  # (3,) body position in world
     q_xyzw: jnp.ndarray  # (4,) Hamilton body->world quaternion
+    p_cov: jnp.ndarray  # (3,3) body-frame position covariance
     num_cams: jnp.ndarray
     num_tracks: jnp.ndarray
     tracking_rate: jnp.ndarray
@@ -335,10 +336,17 @@ def _publish(state: FilterState, time, params: MsckfParams) -> PoseOutput:
     R_b_w = R_bi @ R_i_w @ R_bi.T
     p_b = R_bi @ state.imu.p
     q_ham = rot_to_jpl(R_b_w.T)  # JPL of world->body == Hamilton of body->world
+    # Position covariance (the reference marshals P's pose blocks into an
+    # odometry message then discards them, msckf_vio.cpp:1262-1293; here the
+    # 3x3 position block ships with every pose).  p_b = R_bi p_i, so the
+    # body-frame covariance is R_bi P_pp R_bi^T.
+    P_pp = jax.lax.dynamic_slice(state.P, (12, 12), (3, 3))
+    p_cov = R_bi @ P_pp @ R_bi.T
     return PoseOutput(
         time=time,
         p=p_b,
         q_xyzw=q_ham,
+        p_cov=p_cov,
         num_cams=state.num_cams,
         num_tracks=jnp.sum(state.tracks.fid >= 0),
         tracking_rate=state.tracking_rate,
@@ -363,7 +371,7 @@ def filter_step(
     matrices are tiny (<=D^2 with D~141), so HIGHEST precision is free;
     the image-plane GEMMs in the front-end keep the fast default.
     FilterConfig.matmul_precision exposes the 3-pass/1-pass alternatives."""
-    with jax.default_matmul_precision(cfg.matmul_precision):
+    with matmul_precision_scope(cfg.matmul_precision):
         # First frame: the filter time origin is the first image timestamp
         # (featureCallback, msckf_vio.cpp:314-317).
         first = state.next_sid == 0

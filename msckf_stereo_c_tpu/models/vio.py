@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import FilterConfig, FrontendConfig, StereoCalib
+from ..config import FilterConfig, FrontendConfig, StereoCalib, matmul_precision_scope
 from .frontend import (
     FrontendParams,
     TrackerState,
@@ -70,13 +70,9 @@ def vio_step(
 ):
     """One stereo frame end-to-end (stereo_callback + backend_callback)."""
     fdtype = state.filt.P.dtype
-    if fcfg.matmul_precision != "default":
-        # The pyramid decimation GEMMs belong to the front-end precision
-        # scope (frontend_step scopes its own body).
-        with jax.default_matmul_precision(fcfg.matmul_precision):
-            pyr0 = pyramids_for(img0, fcfg)
-            pyr1 = pyramids_for(img1, fcfg)
-    else:
+    # The pyramid decimation GEMMs belong to the front-end precision scope
+    # (frontend_step scopes its own body).
+    with matmul_precision_scope(fcfg.matmul_precision):
         pyr0 = pyramids_for(img0, fcfg)
         pyr1 = pyramids_for(img1, fcfg)
 
@@ -131,6 +127,7 @@ class VioResult:
     times: np.ndarray
     positions: np.ndarray
     quats_xyzw: np.ndarray
+    pos_cov: np.ndarray  # (T, 3, 3) body-frame position covariance
     num_tracks: np.ndarray
     tracking: dict
     final_state: VioState
@@ -200,6 +197,7 @@ def run_vio_sequence(
         times=cat(poses, "time"),
         positions=cat(poses, "p"),
         quats_xyzw=cat(poses, "q_xyzw"),
+        pos_cov=cat(poses, "p_cov"),
         num_tracks=cat(poses, "num_tracks"),
         tracking={
             "before_tracking": cat(fronts, "before_tracking"),
