@@ -7,9 +7,13 @@ seeds ``pts_curr`` (IMU-predicted positions / extrinsics-projected stereo
 guesses) and the tracker refines per level from coarse to fine.
 
 This is the reference pure-JAX implementation (gather-based bilinear patch
-sampling, vmapped over features; `lax.scan` over iterations).  A fused
-Pallas kernel with VMEM-resident images lives in ``klt_pallas.py``; both
-share the same numerics and are cross-checked in tests."""
+sampling, vmapped over features; `lax.scan` over iterations).  The
+production TPU path is the correlation-surface formulation in
+``klt_corr.py`` (whose LK iteration loop IS a Pallas kernel); the GEMM
+formulation in ``klt_gemm.py`` is the third cross-checked variant.  (A
+fourth, fully-fused one-feature-per-program Pallas kernel was measured
+slower than the GEMM path and miscompiled at coarse levels; it was removed
+in round 2 — see docs/BENCH_NOTES.md.)"""
 from __future__ import annotations
 
 from typing import List, NamedTuple, Sequence

@@ -110,6 +110,88 @@ def make_circle_trajectory(
     return SimTrajectory(t=t, p=p, v=v, R_w_b=R_w_b, gyro=gyro, acc=acc)
 
 
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
+
+
+def make_stress_trajectory(
+    duration: float = 130.0,
+    imu_rate: float = 200.0,
+    t_static: float = 1.5,
+    t_ramp: float = 2.0,
+    base_radius: float = 3.2,
+    radius_amp: float = 1.2,
+    omega: float = 2.0 * np.pi / 16.0,
+    speed_mod: float = 0.55,
+    z_amp: float = 0.8,
+    roll_amp: float = 0.3,
+    pitch_amp: float = 0.22,
+    yaw_amp: float = 0.25,
+) -> SimTrajectory:
+    """The V1_01-realistic stress trajectory: long (default 130 s, vs the
+    8 s bench circle), aggressive 6-dof — orbit radius breathing, strongly
+    modulated angular speed (near-stalls = low-parallax stretches), fast
+    altitude oscillation, and roll/pitch/yaw oscillations on top of the
+    tangent-following base attitude.  Replaces nothing in the reference
+    (whose only quality bar is real V1_01_easy, README.md:53-88); this is
+    the harder synthetic stand-in for this environment, which has no
+    dataset files.
+
+    Velocity and specific force are obtained by central differences at IMU
+    rate (error O(dt^2) ~ 2.5e-5, far below the synthetic IMU noise),
+    keeping the position/attitude expressions free to be arbitrary."""
+    n = int(duration * imu_rate) + 1
+    t = np.arange(n) / imu_rate
+    dt = 1.0 / imu_rate
+
+    # Smooth spin-up phase like make_circle_trajectory.
+    u = np.maximum(t - t_static, 0.0)
+    ex = np.exp(-u / t_ramp)
+    ramp = 1.0 - ex
+
+    # Angular phase with strong speed modulation (dips to ~(1-speed_mod) of
+    # the base rate -> low-parallax stretches).
+    # th(t) = omega * integral of ramp(t) * (1 + speed_mod*sin(2 pi t/29)).
+    rate = omega * ramp * (1.0 + speed_mod * np.sin(2.0 * np.pi * u / 29.0))
+    th = np.concatenate([[0.0], np.cumsum(0.5 * (rate[1:] + rate[:-1]) * dt)])
+
+    r_orb = base_radius + radius_amp * ramp * np.sin(2.0 * np.pi * u / 37.0)
+    z = z_amp * ramp * np.sin(2.0 * np.pi * u / 11.0)
+    p = np.stack([r_orb * np.cos(th), r_orb * np.sin(th), z], axis=1)
+
+    # Central-difference velocity (endpoints one-sided).
+    v = np.gradient(p, dt, axis=0)
+    a_w = np.gradient(v, dt, axis=0)
+
+    # Attitude: tangent-following base (cameras along body +z look at the
+    # outer wall) with roll/pitch/yaw oscillations at incommensurate rates.
+    roll = roll_amp * ramp * np.sin(2.0 * np.pi * u / 7.3)
+    pitch = pitch_amp * ramp * np.sin(2.0 * np.pi * u / 5.1 + 0.7)
+    yaw = yaw_amp * ramp * np.sin(2.0 * np.pi * u / 9.7 + 1.3)
+    R_w_b = np.empty((n, 3, 3))
+    for i in range(n):
+        cth, sth = np.cos(th[i] + yaw[i]), np.sin(th[i] + yaw[i])
+        base = np.array(
+            [[-sth, cth, 0.0], [0.0, 0.0, 1.0], [cth, sth, 0.0]]
+        )  # rows: body axes in world coords
+        R_w_b[i] = _rot_x(roll[i]) @ _rot_y(pitch[i]) @ base
+
+    # Body angular rate from the rotation sequence (same scheme as
+    # make_circle_trajectory).
+    R_b_w = R_w_b.transpose(0, 2, 1)
+    gyro = np.zeros((n, 3))
+    for i in range(n):
+        i0, i1 = max(i - 1, 0), min(i + 1, n - 1)
+        dR = (R_b_w[i1] - R_b_w[i0]) / ((i1 - i0) * dt)
+        W = R_b_w[i].T @ dR
+        gyro[i] = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) / 2.0
+
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    acc = np.einsum("nij,nj->ni", R_w_b, a_w - g_w)
+    return SimTrajectory(t=t, p=p, v=v, R_w_b=R_w_b, gyro=gyro, acc=acc)
+
+
 @dataclasses.dataclass
 class SimImu:
     t: np.ndarray
