@@ -38,6 +38,20 @@ def main():
         help="write per-frame tracking counters (the reference's debug_imageprocessor.txt)",
     )
     ap.add_argument(
+        "--viewer", nargs="?", const=8642, type=int, default=None, metavar="PORT",
+        help="serve a live 3D trajectory view at http://localhost:PORT/ "
+        "(the headless replacement for the reference's Pangolin window, "
+        "run_euroc_single_thread.cpp:131-148)",
+    )
+    ap.add_argument(
+        "--dump-filter-frame", type=int, default=None,
+        help="dump the update-phase filter internals (Jacobian blocks, "
+        "projected rows, gating scores) at this frame index to "
+        "--dump-filter-out; the reference's frame-9 differential dump "
+        "(msckf_vio.cpp:719-723)",
+    )
+    ap.add_argument("--dump-filter-out", default="debug_msckfvio.npz")
+    ap.add_argument(
         "--cov-out", default=None,
         help="write a per-pose position-covariance sidecar "
         "(t p11 p12 p13 p22 p23 p33; the reference marshals this block "
@@ -104,6 +118,14 @@ def main():
     state = None
     all_res = []
 
+    viewer = None
+    if args.viewer is not None:
+        from msckf_stereo_c_tpu.io.live_viewer import LiveViewer
+
+        viewer = LiveViewer(port=args.viewer)
+        port = viewer.start()
+        print(f"live viewer at http://localhost:{port}/")
+
     # Chunked decode + run.
     c = args.chunk
     for s0 in range(0, len(times), c):
@@ -112,6 +134,9 @@ def main():
             imgs0 = load_images(files0[s0:s1])
             imgs1 = load_images(files1[s0:s1])
         t_chunk = time.time()
+        dump_local = None
+        if args.dump_filter_frame is not None and s0 <= args.dump_filter_frame < s1:
+            dump_local = args.dump_filter_frame - s0
         with timer.phase("vio_chunk"):
             r = run_vio_sequence(
                 fcfg, mcfg, calib,
@@ -120,12 +145,21 @@ def main():
                 filter_dtype=filter_dtype,
                 method=args.method,
                 state=state,
+                internals_at=dump_local,
+                prev_frame_t=float(times[s0 - 1]) if s0 > 0 else None,
             )
+        if r.internals is not None:
+            import numpy as _np
+
+            _np.savez_compressed(args.dump_filter_out, **{k: _np.asarray(v) for k, v in r.internals.items()})
+            print(f"wrote filter internals for frame {args.dump_filter_frame} -> {args.dump_filter_out}")
         # Budget check at chunk granularity (mean frame time over the chunk;
         # the first chunk absorbs compilation and will overrun by design).
         timer.frame_done((time.time() - t_chunk) / (s1 - s0))
         state = r.final_state
         all_res.append(r)
+        if viewer is not None:
+            viewer.publish(r.positions, frame=s1)
         el = time.time() - t_start
         print(f"  frames {s1}/{len(times)}  ({s1/el:.1f} fps cumulative)")
 

@@ -180,11 +180,15 @@ def _compact_candidates(candidates: jnp.ndarray, max_update: int):
     return jnp.argsort(~candidates)[:max_update].astype(jnp.int32)
 
 
-def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
-    """Triangulate + update with tracks that lost tracking this frame
-    (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
+def _lost_candidates(state: FilterState, params: MsckfParams, max_update: int = 0):
+    """Select + triangulate the tracks that lost tracking this frame (the
+    shared first half of removeLostFeatures, msckf_vio.cpp:937-1002).
+
+    Returns (idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates):
+    compacted candidate indices into the pool, their observations, the
+    per-candidate participation mask after motion/triangulation checks,
+    gating dof, and the world positions to linearize at."""
     tracks = state.tracks
-    K, M = tracks.obs_valid.shape
 
     active = tracks.fid >= 0
     newest = state.num_cams - 1
@@ -214,6 +218,15 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, 
 
     use = candidates[idx] & init_ok
     dof = jnp.clip(n_obs[idx] - 1, 1, 99)
+    return idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates
+
+
+def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
+    """Triangulate + update with tracks that lost tracking this frame
+    (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
+    idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates = _lost_candidates(
+        state, params, max_update
+    )
     state = _gate_and_update(
         state, params, method, pos, obs_c,
         obs_valid_c & use[:, None], use, dof, ns_iters=ns_iters,
@@ -392,6 +405,83 @@ def filter_step(
         out = _publish(state, frame.time, params)
         state = _online_reset(state, params)
         return state, out
+
+
+def filter_internals(
+    state: FilterState,
+    frame: FrameFeatures,
+    imu: ImuBatch,
+    params: MsckfParams,
+    cfg: FilterConfig,
+    method: str = "qr",
+) -> dict:
+    """Differential-debug dump of one frame's update-phase tensors.
+
+    The reference dumps its stacked Jacobians / residuals at frame
+    ``n_pub == 9`` into debug_msckfvio.txt for differential debugging
+    against the original Eigen implementation (msckf_vio.cpp:719-723).
+    This is the TPU-native analog: given the filter state *before* a
+    frame, it replays propagation/augmentation/observation bookkeeping and
+    returns (without mutating anything) every tensor the lost-feature
+    update would consume — candidate track ids, triangulated positions,
+    the OC-projected Jacobian blocks, nullspace-projected stacked rows,
+    gating scores vs their chi-square thresholds, and the covariance
+    diagonal.  Drive it with ``apps/run_euroc.py --dump-filter-frame N``.
+    """
+    with matmul_precision_scope(cfg.matmul_precision):
+        first = state.next_sid == 0
+        state = state._replace(
+            imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
+        )
+        state = propagate(state, imu, params.Q_imu)
+        state = augment_state(state, frame.time)
+        state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+
+        idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates = _lost_candidates(
+            state, params, cfg.max_update_tracks
+        )
+        obs_mask = obs_valid_c & use[:, None]
+        blocks = track_blocks(
+            pos, obs_c, obs_mask, state.cams, state.gravity,
+            params.R_c0_c1, params.t_c0_c1,
+        )
+        jacs = track_jacobians(
+            pos, obs_c, obs_mask, state.cams, state.gravity,
+            params.R_c0_c1, params.t_c0_c1,
+        )
+        gamma_qr = gating_scores(jacs, state.P, params.sigma2)
+        gamma_schur = schur_gating(blocks, state.P, params.sigma2, cfg.ns_iters)
+        thresh = params.chi2_table[dof]
+        return {
+            "num_cams": state.num_cams,
+            "cam_q": state.cams.q,
+            "cam_p": state.cams.p,
+            "cov_diag": jnp.diagonal(state.P),
+            "candidate_idx": idx,
+            "candidate_fid": state.tracks.fid[idx],
+            "candidate_use": use,
+            "candidate_dof": dof,
+            "n_lost_short": jnp.sum(drop_only),
+            "n_candidates": jnp.sum(candidates),
+            "pos_w": pos,
+            "obs": obs_c,
+            "obs_mask": obs_mask,
+            # Per-(track, camera) OC-projected measurement blocks
+            # (measurementJacobian, msckf_vio.cpp:610-677).
+            "H_x_blocks": blocks.H_x,
+            "H_f_blocks": blocks.H_f,
+            "r_blocks": blocks.r,
+            # Nullspace-projected stacked rows (featureJacobian, :679-776).
+            "H_o": jacs.H_o,
+            "r_o": jacs.r_o,
+            "rows_valid": jacs.rows_valid,
+            # Gating (gatingTest, :909-935) through both linear algebras.
+            "gamma_qr": gamma_qr,
+            "gamma_schur": gamma_schur,
+            "chi2_threshold": thresh,
+            "gate_pass_qr": use & (gamma_qr < thresh),
+            "gate_pass_schur": use & (gamma_schur < thresh),
+        }
 
 
 def init_state(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> FilterState:

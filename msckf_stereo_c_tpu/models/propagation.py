@@ -25,12 +25,20 @@ from .state import FilterState, ImuState
 
 
 class ImuBatch(NamedTuple):
-    """Fixed-size per-frame IMU slice; invalid slots have ``valid=False``."""
+    """Fixed-size per-frame IMU slice; invalid slots have ``valid=False``.
+
+    ``dt`` (optional) carries host-computed float64-exact per-sample time
+    deltas.  Without it, propagation derives dt = t - state.time in the
+    filter dtype — which is fine in f64 but loses ~1e-5 s per step once
+    absolute times exceed ~30 s in float32 (f32 eps at t=130 s is 1e-5 s,
+    0.2% of the 5 ms IMU interval), visibly degrading long-sequence
+    accuracy on the TPU f32 path.  ``runner.pack_imu_batches`` fills it."""
 
     time: jnp.ndarray  # (L,)
     gyro: jnp.ndarray  # (L, 3)
     acc: jnp.ndarray  # (L, 3)
     valid: jnp.ndarray  # (L,) bool
+    dt: jnp.ndarray = None  # (L,) optional host-exact deltas
 
 
 def initialize_gravity_bias(gyro: jnp.ndarray, acc: jnp.ndarray):
@@ -114,13 +122,21 @@ def process_model_step(
     return state._replace(imu=imu_new, P=P)
 
 
-def _imu_step(imu: ImuState, t, m_gyro, m_acc, Q_imu, gravity, valid):
-    """Nominal-state RK4 step + the 21x21 (Phi, Q) pair for this sample."""
+def _imu_step(imu: ImuState, t, m_gyro, m_acc, Q_imu, gravity, valid, dt_packed=None):
+    """Nominal-state RK4 step + the 21x21 (Phi, Q) pair for this sample.
+
+    ``dt_packed``: host-exact time delta (see ImuBatch.dt); when absent the
+    delta falls back to t - state.time in the filter dtype."""
     dtype = imu.q.dtype
 
     gyro = m_gyro - imu.bg
     acc = m_acc - imu.ba
-    dt_raw = t - imu.time
+    if dt_packed is None:
+        dt_raw = jnp.asarray(t - imu.time, dtype)
+    else:
+        # Sentinel dt < 0 = "derive from the state clock" (see
+        # runner.pack_imu_batches); >= 0 = host-exact delta.
+        dt_raw = jnp.where(dt_packed < 0, t - imu.time, dt_packed).astype(dtype)
     dt = jnp.where(valid & (dt_raw > 0), dt_raw, jnp.zeros((), dtype))
 
     R_wi_T = jpl_to_rot(imu.q).T
@@ -201,12 +217,13 @@ def propagate_sequential(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray
         gyro=batch.gyro.astype(dtype),
         acc=batch.acc.astype(dtype),
         valid=batch.valid,
+        dt=None if batch.dt is None else batch.dt.astype(dtype),
     )
 
     def step(carry, x):
         imu, Phi_acc, Q_acc = carry
-        t, gyro, acc, valid = x
-        imu, Phi, Q = _imu_step(imu, t, gyro, acc, Q_imu, state.gravity, valid)
+        t, gyro, acc, valid, dt_p = x
+        imu, Phi, Q = _imu_step(imu, t, gyro, acc, Q_imu, state.gravity, valid, dt_p)
         Phi_acc = Phi @ Phi_acc
         Q_acc = Phi @ Q_acc @ Phi.T + Q
         return (imu, Phi_acc, Q_acc), None
@@ -214,7 +231,7 @@ def propagate_sequential(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray
     (imu, Phi_acc, Q_acc), _ = jax.lax.scan(
         step,
         (state.imu, eye21, jnp.zeros((21, 21), dtype)),
-        (batch.time, batch.gyro, batch.acc, batch.valid),
+        (batch.time, batch.gyro, batch.acc, batch.valid, batch.dt),
     )
     return _apply_propagation(state, imu, Phi_acc, Q_acc)
 
@@ -262,12 +279,20 @@ def propagate(state: FilterState, batch: ImuBatch, Q_imu: jnp.ndarray) -> Filter
     imu0 = state.imu
     gravity = state.gravity
 
-    # --- 1. Per-sample dt (sequential accept rule == running max). ---
+    # --- 1. Per-sample dt (sequential accept rule == running max).  With
+    # host-packed deltas (ImuBatch.dt) the subtraction of near-equal
+    # absolute times never happens on device — exact in any dtype. ---
     t_masked = jnp.where(valid, t, -jnp.inf)
     run_max = jnp.maximum(jax.lax.associative_scan(jnp.maximum, t_masked), imu0.time)
     t_prev = jnp.concatenate([imu0.time[None], run_max[:-1]])
-    stepped = valid & (t > t_prev)
-    dt = jnp.where(stepped, t - t_prev, jnp.zeros((), dtype))
+    if batch.dt is None:
+        dt_raw = t - t_prev
+    else:
+        # Sentinel dt < 0 = "derive from the clock chain" (see
+        # runner.pack_imu_batches); >= 0 = host-exact delta.
+        dt_raw = jnp.where(batch.dt < 0, t - t_prev, batch.dt).astype(dtype)
+    stepped = valid & (dt_raw > 0)
+    dt = jnp.where(stepped, dt_raw, jnp.zeros((), dtype))
 
     gyro = gyro_m - imu0.bg  # (L, 3) constant-bias correction
     acc = acc_m - imu0.ba

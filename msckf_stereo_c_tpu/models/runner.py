@@ -29,38 +29,77 @@ def pack_imu_batches(
     frame_t: np.ndarray,
     max_per_frame: int,
     dtype=np.float64,
+    prev_frame_t: Optional[float] = None,
 ) -> ImuBatch:
     """Slice the IMU stream into per-frame fixed-size batches.
 
-    Frame k gets samples with t in (frame_{k-1}, frame_k]; the first frame
-    gets everything up to its timestamp.  Valid samples are packed FIRST in
-    each batch (required by the propagation's masked-step semantics, see
-    propagation.py)."""
+    Frame k gets samples with t in (frame_{k-1}, frame_k].  For the leading
+    frame the boundary is ``prev_frame_t`` (the previous chunk's last frame
+    when resuming a chunked run) — or, when None (a fresh sequence), the
+    frame's own timestamp: the filter's first step pins its clock to the
+    first image (msckf_vio.cpp:314-317), so pre-first-image samples are
+    no-ops and are not packed at all.  Valid samples are packed FIRST in
+    each batch (required by the propagation's masked-step semantics).
+
+    Also emits host-exact float64 per-sample deltas (``ImuBatch.dt``,
+    chained across frames and across the capped-overflow gap) so device
+    propagation never subtracts near-equal absolute times — the f32 TPU
+    path would otherwise lose ~1e-5 s per step at EuRoC-length timestamps
+    (see ImuBatch)."""
     T = frame_t.shape[0]
     L = max_per_frame
     out_t = np.zeros((T, L), dtype)
     out_g = np.zeros((T, L, 3), dtype)
     out_a = np.zeros((T, L, 3), dtype)
     out_v = np.zeros((T, L), bool)
+    out_dt = np.zeros((T, L), dtype)
 
-    lo = np.searchsorted(imu_t, np.concatenate([[-np.inf], frame_t[:-1]]), side="right")
+    if prev_frame_t is None:
+        # Unknown starting clock (fresh sequence OR a resume without the
+        # boundary timestamp): frame 0 keeps the old semantics — it packs
+        # everything up to its own timestamp and its dt slots carry the
+        # sentinel -1 ("derive t - state.time on device"), as does the
+        # first consumed slot after it.  From then on the chain is
+        # deterministic (state time = last consumed sample) and exact.
+        first_bound = -np.inf
+        t_carry = None  # chain not anchored yet
+    else:
+        first_bound = prev_frame_t
+        # The resumed filter clock = last sample consumed by the previous
+        # chunk (propagation advances to the last sample <= frame time).
+        j = int(np.searchsorted(imu_t, prev_frame_t, side="right"))
+        t_carry = float(imu_t[j - 1]) if j > 0 else float(prev_frame_t)
+    lo = np.searchsorted(imu_t, np.concatenate([[first_bound], frame_t[:-1]]), side="right")
     hi = np.searchsorted(imu_t, frame_t, side="right")
     for k in range(T):
         a, b = lo[k], hi[k]
         m = min(b - a, L)
         if b - a > L:
-            # Cap: keep the most recent samples (propagation handles the gap
-            # via a larger first dt).
+            # Cap: keep the most recent samples (the first kept sample's dt
+            # spans the dropped-samples gap).
             a = b - L
         out_t[k, :m] = imu_t[a : a + m]
         out_g[k, :m] = imu_gyro[a : a + m]
         out_a[k, :m] = imu_acc[a : a + m]
         out_v[k, :m] = True
+        if m == 0:
+            continue
+        tt = np.asarray(imu_t[a : a + m], np.float64)
+        if k == 0 and prev_frame_t is None:
+            out_dt[k, :m] = -1.0  # whole row: device derives vs state time
+        elif t_carry is None:
+            out_dt[k, 0] = -1.0  # first consumed slot after the blind row
+            out_dt[k, 1:m] = np.diff(tt)
+            t_carry = float(tt[-1])
+        else:
+            out_dt[k, :m] = np.diff(np.concatenate([[t_carry], tt]))
+            t_carry = float(tt[-1])
     return ImuBatch(
         time=jnp.asarray(out_t),
         gyro=jnp.asarray(out_g),
         acc=jnp.asarray(out_a),
         valid=jnp.asarray(out_v),
+        dt=jnp.asarray(out_dt),
     )
 
 

@@ -113,6 +113,56 @@ def vio_step(
     return new_state, (pose, out)
 
 
+def vio_step_internals(
+    state: VioState,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    time,
+    imu: ImuBatch,
+    fparams: FrontendParams,
+    mparams: MsckfParams,
+    fcfg: FrontendConfig,
+    mcfg: FilterConfig,
+    method: str = "qr",
+) -> dict:
+    """Differential-debug view of one frame: runs the frontend exactly as
+    ``vio_step`` would, then returns ``msckf.filter_internals`` — the
+    update-phase tensors (Jacobian blocks, projected rows, gating scores)
+    the filter would consume — without advancing any state.  The TPU-native
+    analog of the reference's frame-9 Jacobian dump (msckf_vio.cpp:719-723);
+    driven by ``apps/run_euroc.py --dump-filter-frame``."""
+    from .msckf import filter_internals
+
+    fdtype = state.filt.P.dtype
+    with matmul_precision_scope(fcfg.matmul_precision):
+        pyr0 = pyramids_for(img0, fcfg)
+        pyr1 = pyramids_for(img1, fcfg)
+
+    n_valid = jnp.maximum(jnp.sum(imu.valid), 1)
+    mean_gyro = jnp.sum(
+        jnp.where(imu.valid[:, None], imu.gyro, 0.0), axis=0
+    ) / n_valid.astype(imu.gyro.dtype)
+    is_first = state.prev_time < 0
+    dt = jnp.where(is_first, jnp.zeros_like(state.prev_time), time - state.prev_time)
+
+    _, out = frontend_step(
+        state.tracker, state.pyr0_prev, pyr0, pyr1,
+        mean_gyro.astype(img0.dtype), dt.astype(img0.dtype), is_first,
+        fparams, fcfg,
+    )
+    frame = FrameFeatures(
+        time=jnp.asarray(time, fdtype),
+        fid=out.fid,
+        uv=out.uv.astype(fdtype),
+        valid=out.valid,
+    )
+    internals = filter_internals(state.filt, frame, imu, mparams, mcfg, method=method)
+    internals["frontend_fid"] = out.fid
+    internals["frontend_uv"] = out.uv
+    internals["frontend_valid"] = out.valid
+    return internals
+
+
 @partial(jax.jit, static_argnames=("fcfg", "mcfg", "method"))
 def _vio_chunk(state, imgs0, imgs1, times, imu, fparams, mparams, fcfg, mcfg, method):
     def step(s, xs):
@@ -131,6 +181,9 @@ class VioResult:
     num_tracks: np.ndarray
     tracking: dict
     final_state: VioState
+    # Filled only when run_vio_sequence(internals_at=N): the frame-N
+    # differential-debug tensors from vio_step_internals.
+    internals: Optional[dict] = None
 
 
 def run_vio_sequence(
@@ -148,9 +201,20 @@ def run_vio_sequence(
     method: str = "qr",
     chunk: Optional[int] = None,
     state: Optional[VioState] = None,
+    internals_at: Optional[int] = None,
+    prev_frame_t: Optional[float] = None,
 ) -> VioResult:
     """Host driver: chunked scan over the image sequence (the reference's
-    per-image while loop, apps/run_euroc_single_thread.cpp:189-324)."""
+    per-image while loop, apps/run_euroc_single_thread.cpp:189-324).
+
+    ``internals_at=N`` additionally captures the frame-N update-phase
+    tensors (vio_step_internals) in ``result.internals`` — the analog of
+    the reference's frame-9 Jacobian dump (msckf_vio.cpp:719-723).
+
+    When resuming with ``state`` from an earlier call, pass
+    ``prev_frame_t`` = the last already-processed frame's timestamp so the
+    IMU stream between the calls is packed (with host-exact dt) instead of
+    dropped."""
     import dataclasses as _dc
 
     fcfg = _dc.replace(
@@ -168,13 +232,32 @@ def run_vio_sequence(
             filt=apply_gravity_init(state.filt, imu_gyro[:n0], imu_acc[:n0])
         )
 
-    batches = pack_imu_batches(imu_t, imu_gyro, imu_acc, frame_t, mcfg.max_imu_per_frame)
+    batches = pack_imu_batches(
+        imu_t, imu_gyro, imu_acc, frame_t, mcfg.max_imu_per_frame,
+        prev_frame_t=prev_frame_t,
+    )
 
     T = frame_t.shape[0]
     chunk = chunk or T
     poses, fronts = [], []
-    for s0 in range(0, T, chunk):
-        s1 = min(s0 + chunk, T)
+    internals = None
+    bounds = list(range(0, T, chunk))
+    if internals_at is not None and 0 <= internals_at < T:
+        # Force a chunk boundary so the pre-frame state is available.
+        bounds = sorted(set(bounds) | {internals_at})
+    for j, s0 in enumerate(bounds):
+        s1 = bounds[j + 1] if j + 1 < len(bounds) else T
+        if internals_at is not None and s0 == internals_at:
+            internals = jax.device_get(
+                vio_step_internals(
+                    state,
+                    jnp.asarray(images0[s0], image_dtype),
+                    jnp.asarray(images1[s0], image_dtype),
+                    jnp.asarray(frame_t[s0], filter_dtype),
+                    jax.tree.map(lambda x: jnp.asarray(x[s0]), batches),
+                    fparams, mparams, fcfg, mcfg, method,
+                )
+            )
         state, (pose, front) = _vio_chunk(
             state,
             jnp.asarray(images0[s0:s1], image_dtype),
@@ -206,4 +289,5 @@ def run_vio_sequence(
             "after_ransac": cat(fronts, "after_ransac"),
         },
         final_state=state,
+        internals=internals,
     )

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Diagnose the stress-gate ATE: per-time-bucket aligned error against the
+stress-event timeline, for a configurable variant matrix.
+
+  STRESS_DURATION=36 STRESS_VARIANT=stress|nominal STRESS_METHOD=schur|qr
+  STRESS_DTYPE=f32|f64 python scripts/stress_debug.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msckf_stereo_c_tpu.config import FilterConfig, FrontendConfig
+    from msckf_stereo_c_tpu.sim.render_jax import make_stress_events
+    from msckf_stereo_c_tpu.sim.stress import run_stress_gate
+    from msckf_stereo_c_tpu.sim.trajectory import make_stress_trajectory
+
+    duration = float(os.environ.get("STRESS_DURATION", "36"))
+    variant = os.environ.get("STRESS_VARIANT", "stress")
+    method = os.environ.get("STRESS_METHOD", "schur")
+    f64 = os.environ.get("STRESS_DTYPE", "f32") == "f64"
+    mcfg = FilterConfig(
+        ns_iters=0 if (f64 or method != "schur") else 10,
+        matmul_precision="float32" if f64 else os.environ.get("STRESS_PRECISION", "tensorfloat32"),
+    )
+
+    import json
+
+    fcfg = FrontendConfig(
+        klt_impl=os.environ.get("STRESS_KLT", FrontendConfig.klt_impl),
+        tmpl_carry=os.environ.get("STRESS_TMPL", "1") == "1",
+        temporal_levels=int(os.environ.get("STRESS_TLEVELS", FrontendConfig.temporal_levels)),
+        stereo_levels=int(os.environ.get("STRESS_SLEVELS", FrontendConfig.stereo_levels)),
+    )
+    traj_kwargs = json.loads(os.environ.get("STRESS_TRAJ_KWARGS", "{}"))
+    out = run_stress_gate(
+        duration=duration,
+        chunk=128,
+        r_wall=float(os.environ.get("STRESS_WALL", "12")),
+        fcfg=fcfg,
+        mcfg=mcfg,
+        filter_dtype=jnp.float64 if f64 else jnp.float32,
+        method=method,
+        stress=(variant == "stress"),
+        traj_kwargs=traj_kwargs,
+        generator=os.environ.get("STRESS_GENERATOR", "stress"),
+    )
+    print(
+        f"variant={variant} method={method} dtype={'f64' if f64 else 'f32'} "
+        f"duration={duration} wall={os.environ.get('STRESS_WALL', '12')} "
+        f"klt={fcfg.klt_impl}/tmpl{int(fcfg.tmpl_carry)}/tl{fcfg.temporal_levels}/sl{fcfg.stereo_levels} "
+        f"kwargs={traj_kwargs} ATE rmse={out.ate_rmse:.4f} mean={out.ate_mean:.4f} "
+        f"max={out.ate_max:.4f} min_tracks={out.min_tracks_after_ransac}"
+    )
+
+    # Aligned per-frame error (same association/alignment as evaluate_ate).
+    from msckf_stereo_c_tpu.io.tum import associate, horn_align
+
+    ia, ib = associate(out.result.times, out.gt_t, 0.02)
+    e, g = out.result.positions[ia], out.gt_p[ib]
+    R, t = horn_align(e, g)
+    err = np.linalg.norm((e @ R.T + t) - g, axis=1)
+
+    traj = make_stress_trajectory(duration=duration)
+    idx = np.arange(0, traj.t.shape[0], 10)
+    ev = make_stress_events(traj, idx)
+    tr = out.result.tracking["after_ransac"]
+    print(" t[s]  err[m]  tex  occ  gain  tracks")
+    B = max(1, len(err) // 24)
+    for s in range(0, len(err), B):
+        sl = slice(s, min(s + B, len(err)))
+        print(
+            f"{out.result.times[sl][0]:6.1f}  {err[sl].max():.4f}  "
+            f"{ev.tex_scale[sl].min():.2f}  {ev.occ_radius[sl].max():.2f}  "
+            f"{ev.gain[sl][0]:.2f}  {tr[sl].min()}"
+        )
+
+
+if __name__ == "__main__":
+    main()
