@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Frontend-only track-accuracy probe: run the tracker (no filter) over a
+rendered sequence and compare blob-landmark tracks against ground-truth
+projections — isolates KLT/stereo systematic error from the filter.
+
+PROBE_DUR=36 PROBE_WALL=8 PROBE_KLT=corr PROBE_TMPL=1 python scripts/track_bias_probe.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig, FrontendConfig
+    from msckf_stereo_c_tpu.models.frontend import (
+        frontend_step, init_tracker_state, make_frontend_params, pyramids_for,
+    )
+    from msckf_stereo_c_tpu.models.runner import pack_imu_batches
+    from msckf_stereo_c_tpu.sim.render_jax import JaxRenderer, StressEvents
+    from msckf_stereo_c_tpu.sim.trajectory import (
+        make_circle_trajectory, make_wall_landmarks, synthesize_imu,
+    )
+
+    dur = float(os.environ.get("PROBE_DUR", "36"))
+    r_wall = float(os.environ.get("PROBE_WALL", "8"))
+    fcfg = FrontendConfig(
+        klt_impl=os.environ.get("PROBE_KLT", FrontendConfig.klt_impl),
+        tmpl_carry=os.environ.get("PROBE_TMPL", "1") == "1",
+        temporal_levels=int(os.environ.get("PROBE_TLEVELS", FrontendConfig.temporal_levels)),
+        stereo_levels=int(os.environ.get("PROBE_SLEVELS", FrontendConfig.stereo_levels)),
+    )
+    calib = EUROC_CALIB
+
+    traj = make_circle_trajectory(
+        duration=dur,
+        z_amp=float(os.environ.get("PROBE_ZAMP", "0.5")),
+        roll_amp=float(os.environ.get("PROBE_ROLLAMP", "0.1")),
+        omega=float(os.environ.get("PROBE_OMEGA", str(2.0 * 3.14159265 / 20.0))),
+    )
+    lms = make_wall_landmarks(num=700, radius=r_wall, z_min=-4.5, z_max=4.5, seed=1)
+    imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
+    idx = np.arange(0, traj.t.shape[0], 10)
+    T = len(idx)
+    frame_t = traj.t[idx]
+    renderer = JaxRenderer(lms, calib, r_wall=r_wall)
+
+    fparams = make_frontend_params(calib, jnp.float32)
+    batches = pack_imu_batches(imu.t, imu.gyro, imu.acc, frame_t, 16, np.float32)
+
+    @jax.jit
+    def chunk_scan(tracker, pyr_prev, prev_t, i0s, i1s, ts, gyros):
+        def step(carry, xs):
+            tracker, pyr_prev, prev_t = carry
+            i0, i1, t, g = xs
+            pyr0 = pyramids_for(i0, fcfg)
+            pyr1 = pyramids_for(i1, fcfg)
+            is_first = prev_t < 0
+            dt = jnp.where(is_first, 0.0, t - prev_t).astype(jnp.float32)
+            tracker, out = frontend_step(
+                tracker, pyr_prev, pyr0, pyr1, g, dt, is_first, fparams, fcfg
+            )
+            return (tracker, pyr0, t), (out.fid, out.uv, out.valid)
+
+        return jax.lax.scan(step, (tracker, pyr_prev, prev_t), (i0s, i1s, ts, gyros))
+
+    mean_gyro = np.where(
+        np.asarray(batches.valid)[:, :, None],
+        np.asarray(batches.gyro), 0.0
+    ).sum(1) / np.maximum(np.asarray(batches.valid).sum(1), 1)[:, None]
+
+    H, W = calib.cam0.resolution[1], calib.cam0.resolution[0]
+    dummy = jnp.zeros((H, W), jnp.float32)
+    carry = (init_tracker_state(fcfg, jnp.float32), pyramids_for(dummy, fcfg),
+             jnp.asarray(-1.0, jnp.float32))
+    fids, uvs, valids = [], [], []
+    C = 64
+    for s0 in range(0, T, C):
+        s1 = min(s0 + C, T)
+        ev = StressEvents.nominal(s1 - s0)
+        img0, img1 = renderer.render_sequence(traj, idx[s0:s1], ev, chunk=C)
+        carry, (f, u, v) = chunk_scan(
+            carry[0], carry[1], carry[2],
+            jnp.asarray(img0), jnp.asarray(img1),
+            jnp.asarray(frame_t[s0:s1], jnp.float32),
+            jnp.asarray(mean_gyro[s0:s1], jnp.float32),
+        )
+        fids.append(np.asarray(f)); uvs.append(np.asarray(u)); valids.append(np.asarray(v))
+    fid = np.concatenate(fids); uv = np.concatenate(uvs); valid = np.concatenate(valids)
+
+    # Ground-truth normalized projections of every landmark per frame.
+    T_ci0 = calib.cam0.T_cam_imu_mat()
+    T01 = calib.T_cam0_cam1_mat()
+    T_ci1 = T01 @ T_ci0
+    R_wb = traj.R_w_b[idx]  # world->body
+    p_b = traj.p[idx]
+
+    def gt_norm(T_ci):
+        R_ci, t_ci = T_ci[:3, :3], T_ci[:3, 3]
+        # p_cam = R_ci (R_wb (lm - p)) + t_ci
+        rel = lms[None, :, :] - p_b[:, None, :]
+        p_imu = np.einsum("tij,tlj->tli", R_wb, rel)
+        p_cam = np.einsum("ij,tlj->tli", R_ci, p_imu) + t_ci
+        return p_cam[..., :2] / p_cam[..., 2:3], p_cam[..., 2]
+
+    n0, z0 = gt_norm(T_ci0)
+    n1, z1 = gt_norm(T_ci1)
+
+    # Associate each track id with a landmark at its birth frame.
+    fx = calib.cam0.intrinsics[0]
+    first_seen = {}
+    assoc = {}
+    res = {}  # fid -> list of (frame, du0, dv0, ddisp, age)
+    for t in range(T):
+        for i in np.flatnonzero(valid[t]):
+            f = int(fid[t, i])
+            obs = uv[t, i]
+            if f not in first_seen:
+                d2 = np.sum((n0[t] - obs[:2]) ** 2, axis=1)
+                j = int(np.argmin(d2))
+                first_seen[f] = t
+                if d2[j] < (2.0 / fx) ** 2 and z0[t, j] > 0.3:
+                    assoc[f] = j
+            j = assoc.get(f)
+            if j is None:
+                continue
+            du0 = (obs[0] - n0[t, j, 0]) * fx
+            dv0 = (obs[1] - n0[t, j, 1]) * fx
+            gt_disp = (n0[t, j, 0] - n1[t, j, 0]) * fx
+            tr_disp = (obs[0] - obs[2]) * fx
+            res.setdefault(f, []).append((t, du0, dv0, tr_disp - gt_disp, t - first_seen[f]))
+
+    allr = np.array([r for v in res.values() for r in v])
+    print(f"tracks associated: {len(res)} / {len(first_seen)}; obs: {len(allr)}")
+    print(f"cam0 du: mean {allr[:,1].mean():+.4f} px  |du| p50/p90 "
+          f"{np.percentile(np.abs(allr[:,1]),50):.3f}/{np.percentile(np.abs(allr[:,1]),90):.3f}")
+    print(f"cam0 dv: mean {allr[:,2].mean():+.4f} px")
+    print(f"disparity err: mean {allr[:,3].mean():+.4f} px  p50/p90 "
+          f"{np.percentile(np.abs(allr[:,3]),50):.3f}/{np.percentile(np.abs(allr[:,3]),90):.3f}")
+    # Bias vs track age (drift signature).
+    print(" age  n      du0      dv0     ddisp")
+    for a0, a1 in [(0, 1), (1, 3), (3, 6), (6, 10), (10, 15), (15, 25), (25, 60)]:
+        m = (allr[:, 4] >= a0) & (allr[:, 4] < a1)
+        if m.sum():
+            print(f"{a0:3d}-{a1:<3d} {m.sum():5d} {allr[m,1].mean():+.4f} "
+                  f"{allr[m,2].mean():+.4f} {allr[m,3].mean():+.4f}")
+    # Bias vs sequence time (scale-drift signature).
+    print(" t[s]   n      du0     ddisp")
+    B = max(1, T // 12)
+    for s in range(0, T, B):
+        m = (allr[:, 0] >= s) & (allr[:, 0] < s + B)
+        if m.sum():
+            print(f"{frame_t[s]:5.1f} {m.sum():6d} {allr[m,1].mean():+.4f} {allr[m,3].mean():+.4f}")
+
+
+if __name__ == "__main__":
+    main()
