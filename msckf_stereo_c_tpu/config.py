@@ -124,6 +124,19 @@ class FrontendConfig:
     # frame two — measured ATE/fast-motion gates unchanged, +55 fps.
     # 0 disables the cap.
     cand_budget: int = 48
+    # Left-right stereo consistency check (round-trip px threshold; 0
+    # disables).  The epipolar gate cannot reject a wrong lock ALONG the
+    # epipolar line, and with carried-disparity stereo matching such a lock
+    # persists for the track's whole life: measured on the 36 s circle/wall
+    # scene, ~2% of observations carried ~-10 px disparity errors, all from
+    # tracks BORN on the wrong blob (scripts/track_bias_probe.py,
+    # docs/STRESS_NOTES.md).  Tracking cam1->cam0 back at full resolution
+    # and requiring the round trip to land within this radius kills them at
+    # birth.  The reference has no equivalent (it re-walks the full pyramid
+    # from the extrinsic guess every frame, image_processor.cpp:534-620, so
+    # its wrong locks do not persist); this is the TPU build's counterpart
+    # safeguard for its cheaper carried-disparity design.
+    stereo_lr_threshold: float = 1.0
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob

@@ -100,6 +100,7 @@ class LiveViewer:
         self._points = np.zeros((0, 3))
         self._seq = 0
         self._frame = 0
+        self._state_cache: Optional[tuple] = None  # (seq, serialized bytes)
         self._server: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
@@ -120,15 +121,24 @@ class LiveViewer:
             self._seq += 1
 
     def state_json(self) -> bytes:
+        # Snapshot under the lock; serialize OUTSIDE it (a 100k-point path is
+        # multi-MB of JSON — holding the lock through json.dumps would block
+        # publish(), i.e. the VIO loop, for the serialization duration).
+        # The serialized bytes are cached per seq so concurrent pollers cost
+        # one dumps per published update, not one per request.
         with self._lock:
-            return json.dumps(
-                {
-                    "seq": self._seq,
-                    "frame": self._frame,
-                    "path": self._path,
-                    "points": self._points.tolist(),
-                }
-            ).encode()
+            if self._state_cache is not None and self._state_cache[0] == self._seq:
+                return self._state_cache[1]
+            seq, frame = self._seq, self._frame
+            path = list(self._path)
+            points = self._points
+        body = json.dumps(
+            {"seq": seq, "frame": frame, "path": path, "points": points.tolist()}
+        ).encode()
+        with self._lock:
+            if self._state_cache is None or seq >= self._state_cache[0]:
+                self._state_cache = (seq, body)
+        return body
 
     # -- server side -------------------------------------------------------
     def start(self) -> int:

@@ -95,7 +95,6 @@ def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParam
     E = np.asarray(skew(jnp.asarray(t01))) @ R01
     fx0, fy0 = calib.cam0.intrinsics[:2]
     fx1, fy1 = calib.cam1.intrinsics[:2]
-    T_c1_imu = T01 @ calib.cam1.T_cam_imu_mat() @ np.linalg.inv(calib.cam1.T_cam_imu_mat())
     # R(T_cam_imu) for cam1 = R(T_cn_cnm1 @ T_cam0_imu):
     R_i_c1 = (T01 @ calib.cam0.T_cam_imu_mat())[:3, :3]
     return FrontendParams(
@@ -162,55 +161,6 @@ def _rank_within_group(group: jnp.ndarray, order_key: jnp.ndarray, valid: jnp.nd
     rank_sorted = pos - first_pos[sorted_g]
     rank = jnp.zeros(n, jnp.int32).at[sorted_idx].set(rank_sorted.astype(jnp.int32))
     return jnp.where(valid, rank, n)
-
-
-def _stereo_match(
-    pyr0: Sequence[jnp.ndarray],
-    pyr1: Sequence[jnp.ndarray],
-    pts0: jnp.ndarray,
-    valid: jnp.ndarray,
-    params: FrontendParams,
-    cfg: FrontendConfig,
-    img_shape: Tuple[int, int],
-    guess: jnp.ndarray | None = None,
-):
-    """KLT cam0->cam1 with extrinsic-rotation initial guess + epipolar gate
-    (reference stereoMatch, image_processor.cpp:534-620).
-
-    ``guess``: optional explicit cam1 initial positions (e.g. carried
-    disparity for surviving tracks); when given, only the finest pyramid
-    levels are searched — the guess is already within a couple of pixels,
-    and the coarse levels exist to absorb the unknown stereo disparity
-    (reference seeds cam1_points the same way when non-empty,
-    image_processor.cpp:540-548)."""
-    H, W = img_shape
-    if guess is None:
-        # Initial guess: rotate cam0 rays by R_c0_c1, reproject into cam1.
-        xn = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
-        guess = distort_points(xn, params.K1, params.D1, model=cfg.distortion_model1)
-        levels0, levels1 = pyr0, pyr1
-    else:
-        levels0, levels1 = pyr0[:2], pyr1[:2]
-    klt = _klt_fn(cfg.klt_impl)
-    res = klt(
-        levels0, levels1, pts0, guess, valid,
-        win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-    )
-    pts1 = res.pts
-    ok = res.valid & valid
-    ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
-
-    # Epipolar consistency with the known essential matrix.
-    un0 = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0)
-    un1 = undistort_points(pts1, params.K1, params.D1, model=cfg.distortion_model1)
-    p0h = jnp.concatenate([un0, jnp.ones_like(un0[:, :1])], axis=1)
-    p1h = jnp.concatenate([un1, jnp.ones_like(un1[:, :1])], axis=1)
-    line = p0h @ params.E.T  # (N,3) epipolar lines in cam1
-    dist = jnp.abs(jnp.sum(p1h * line, axis=1)) / jnp.sqrt(
-        line[:, 0] ** 2 + line[:, 1] ** 2 + 1e-12
-    )
-    ok = ok & (dist <= cfg.stereo_threshold * params.norm_pixel_unit)
-    return pts1, ok
 
 
 def _detect_candidates(
@@ -327,7 +277,8 @@ def _stereo_match_merged(
     ok = ok & (pts1[:, 0] >= 0) & (pts1[:, 0] <= W - 1) & (pts1[:, 1] >= 0) & (pts1[:, 1] <= H - 1)
 
     # Epipolar consistency with the known essential matrix — one pass over
-    # the union (same math as _stereo_match).
+    # the union (reference stereoMatch epipolar gate,
+    # image_processor.cpp:585-617).
     un0 = undistort_points(pts0, params.K0, params.D0, model=cfg.distortion_model0)
     un1 = undistort_points(pts1, params.K1, params.D1, model=cfg.distortion_model1)
     p0h = jnp.concatenate([un0, jnp.ones_like(un0[:, :1])], axis=1)
@@ -337,6 +288,33 @@ def _stereo_match_merged(
         line[:, 0] ** 2 + line[:, 1] ** 2 + 1e-12
     )
     ok = ok & (dist <= cfg.stereo_threshold * params.norm_pixel_unit)
+
+    # Cheirality along the baseline: the component of (un0 - un1) along the
+    # predicted disparity direction must be non-negative (a point at
+    # infinity has zero disparity; finite wall depths give strictly
+    # positive).  Free, and kills the wrong locks that land PAST the
+    # infinity point on the epipolar line.
+    xn_inf = undistort_points(
+        pts0, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1
+    )  # normalized cam1 coords of the infinity point of each cam0 ray
+    bdir = -params.t_c0_c1[:2]
+    bnorm = jnp.sqrt(jnp.sum(bdir * bdir)) + 1e-12
+    disp_along = ((xn_inf - un1) @ bdir) / bnorm
+    ok = ok & (disp_along >= -0.5 * params.norm_pixel_unit)
+
+    # Left-right consistency (see FrontendConfig.stereo_lr_threshold): track
+    # the matched cam1 points back to cam0 at full resolution and require
+    # the round trip to land on the original cam0 position.  A wrong lock
+    # along the epipolar line tracks back to ITS OWN cam0 image, ~a blob
+    # spacing away from pts0.
+    if cfg.stereo_lr_threshold > 0:
+        res_b = klt(
+            pyr1[:1], pyr0[:1], pts1, pts0, ok,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+        )
+        rt2 = jnp.sum((res_b.pts - pts0) ** 2, axis=1)
+        ok = ok & res_b.valid & (rt2 <= cfg.stereo_lr_threshold**2)
+
     tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
     return (pts1[:n_surv], ok[:n_surv]), (pts1[n_surv:], ok[n_surv:]), tmpl
 

@@ -366,6 +366,23 @@ def _publish(state: FilterState, time, params: MsckfParams) -> PoseOutput:
     )
 
 
+def _propagate_augment_observe(
+    state: FilterState, frame: FrameFeatures, imu: ImuBatch, params: MsckfParams
+) -> FilterState:
+    """Shared front half of ``filter_step`` and ``filter_internals``: time
+    origin on the first frame (featureCallback, msckf_vio.cpp:314-317), IMU
+    propagation, state augmentation, observation bookkeeping.  One
+    implementation so the debug dump can never silently diverge from the
+    live filter."""
+    first = state.next_sid == 0
+    state = state._replace(
+        imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
+    )
+    state = propagate(state, imu, params.Q_imu)
+    state = augment_state(state, frame.time)
+    return add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+
+
 def filter_step(
     state: FilterState,
     frame: FrameFeatures,
@@ -385,16 +402,7 @@ def filter_step(
     the image-plane GEMMs in the front-end keep the fast default.
     FilterConfig.matmul_precision exposes the 3-pass/1-pass alternatives."""
     with matmul_precision_scope(cfg.matmul_precision):
-        # First frame: the filter time origin is the first image timestamp
-        # (featureCallback, msckf_vio.cpp:314-317).
-        first = state.next_sid == 0
-        state = state._replace(
-            imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
-        )
-
-        state = propagate(state, imu, params.Q_imu)
-        state = augment_state(state, frame.time)
-        state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+        state = _propagate_augment_observe(state, frame, imu, params)
         state = _remove_lost_features(state, params, method, cfg.max_update_tracks, cfg.ns_iters)
         state = jax.lax.cond(
             state.num_cams >= cfg.max_cam_state_size,
@@ -429,13 +437,7 @@ def filter_internals(
     diagonal.  Drive it with ``apps/run_euroc.py --dump-filter-frame N``.
     """
     with matmul_precision_scope(cfg.matmul_precision):
-        first = state.next_sid == 0
-        state = state._replace(
-            imu=state.imu._replace(time=jnp.where(first, frame.time, state.imu.time))
-        )
-        state = propagate(state, imu, params.Q_imu)
-        state = augment_state(state, frame.time)
-        state = add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+        state = _propagate_augment_observe(state, frame, imu, params)
 
         idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates = _lost_candidates(
             state, params, cfg.max_update_tracks

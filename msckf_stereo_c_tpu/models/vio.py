@@ -56,19 +56,19 @@ def init_vio_state(
     )
 
 
-def vio_step(
+def _run_frontend(
     state: VioState,
     img0: jnp.ndarray,
     img1: jnp.ndarray,
     time,
     imu: ImuBatch,
     fparams: FrontendParams,
-    mparams: MsckfParams,
     fcfg: FrontendConfig,
-    mcfg: FilterConfig,
-    method: str = "qr",
 ):
-    """One stereo frame end-to-end (stereo_callback + backend_callback)."""
+    """Shared frontend preamble of ``vio_step`` and ``vio_step_internals``:
+    pyramids, per-frame mean gyro, frame dt, tracker step, FrameFeatures
+    packing.  One implementation so the differential-debug path can never
+    silently diverge from the live path."""
     fdtype = state.filt.P.dtype
     # The pyramid decimation GEMMs belong to the front-end precision scope
     # (frontend_step scopes its own body).
@@ -102,6 +102,26 @@ def vio_step(
         uv=out.uv.astype(fdtype),
         valid=out.valid,
     )
+    return tracker, out, frame, pyr0
+
+
+def vio_step(
+    state: VioState,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    time,
+    imu: ImuBatch,
+    fparams: FrontendParams,
+    mparams: MsckfParams,
+    fcfg: FrontendConfig,
+    mcfg: FilterConfig,
+    method: str = "qr",
+):
+    """One stereo frame end-to-end (stereo_callback + backend_callback)."""
+    fdtype = state.filt.P.dtype
+    tracker, out, frame, pyr0 = _run_frontend(
+        state, img0, img1, time, imu, fparams, fcfg
+    )
     filt, pose = filter_step(state.filt, frame, imu, mparams, mcfg, method=method)
 
     new_state = VioState(
@@ -126,36 +146,15 @@ def vio_step_internals(
     method: str = "qr",
 ) -> dict:
     """Differential-debug view of one frame: runs the frontend exactly as
-    ``vio_step`` would, then returns ``msckf.filter_internals`` — the
-    update-phase tensors (Jacobian blocks, projected rows, gating scores)
-    the filter would consume — without advancing any state.  The TPU-native
-    analog of the reference's frame-9 Jacobian dump (msckf_vio.cpp:719-723);
-    driven by ``apps/run_euroc.py --dump-filter-frame``."""
+    ``vio_step`` would (same ``_run_frontend`` helper), then returns
+    ``msckf.filter_internals`` — the update-phase tensors (Jacobian blocks,
+    projected rows, gating scores) the filter would consume — without
+    advancing any state.  The TPU-native analog of the reference's frame-9
+    Jacobian dump (msckf_vio.cpp:719-723); driven by
+    ``apps/run_euroc.py --dump-filter-frame``."""
     from .msckf import filter_internals
 
-    fdtype = state.filt.P.dtype
-    with matmul_precision_scope(fcfg.matmul_precision):
-        pyr0 = pyramids_for(img0, fcfg)
-        pyr1 = pyramids_for(img1, fcfg)
-
-    n_valid = jnp.maximum(jnp.sum(imu.valid), 1)
-    mean_gyro = jnp.sum(
-        jnp.where(imu.valid[:, None], imu.gyro, 0.0), axis=0
-    ) / n_valid.astype(imu.gyro.dtype)
-    is_first = state.prev_time < 0
-    dt = jnp.where(is_first, jnp.zeros_like(state.prev_time), time - state.prev_time)
-
-    _, out = frontend_step(
-        state.tracker, state.pyr0_prev, pyr0, pyr1,
-        mean_gyro.astype(img0.dtype), dt.astype(img0.dtype), is_first,
-        fparams, fcfg,
-    )
-    frame = FrameFeatures(
-        time=jnp.asarray(time, fdtype),
-        fid=out.fid,
-        uv=out.uv.astype(fdtype),
-        valid=out.valid,
-    )
+    _, out, frame, _ = _run_frontend(state, img0, img1, time, imu, fparams, fcfg)
     internals = filter_internals(state.filt, frame, imu, mparams, mcfg, method=method)
     internals["frontend_fid"] = out.fid
     internals["frontend_uv"] = out.uv

@@ -61,6 +61,7 @@ def run_stress_gate(
     seed: int = 0,
     traj_kwargs: Optional[dict] = None,
     generator: str = "stress",
+    lm_seed: Optional[int] = None,
 ) -> StressGateResult:
     """Render + run the stress scene in fixed-memory chunks.
 
@@ -76,7 +77,8 @@ def run_stress_gate(
     else:
         traj = make_stress_trajectory(duration=duration, **(traj_kwargs or {}))
     landmarks = make_wall_landmarks(
-        num=num_landmarks, radius=r_wall, z_min=-4.5, z_max=4.5, seed=1
+        num=num_landmarks, radius=r_wall, z_min=-4.5, z_max=4.5,
+        seed=1 if lm_seed is None else lm_seed,
     )
     imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=seed)
     frame_idx = np.arange(0, traj.t.shape[0], frame_stride)

@@ -85,29 +85,63 @@ def make_circle_trajectory(
     # world->body: body x = tangent, body y = world up, body z = outward
     # radial.  The EuRoC rig's cameras look along IMU ~+z, so this keeps the
     # landmark band (outer cylinder) in view.  Small roll oscillation on top.
-    R_w_b = np.empty((n, 3, 3))
-    for i in range(n):
-        cth, sth = np.cos(th[i]), np.sin(th[i])
-        base = np.array(
-            [[-sth, cth, 0.0], [0.0, 0.0, 1.0], [cth, sth, 0.0]]
-        )  # rows: body axes in world coords
-        roll = roll_amp * np.sin(3.0 * th[i])
-        R_w_b[i] = _rot_x(roll) @ base
+    roll = roll_amp * np.sin(3.0 * th)
+    droll = 3.0 * roll_amp * np.cos(3.0 * th) * dth
+    R_w_b = _compose_rotations(roll, np.zeros(n), th)
 
-    # Body angular rate from the rotation sequence: [w]x = R_bw^T dR_bw/dt.
-    R_b_w = R_w_b.transpose(0, 2, 1)
-    gyro = np.zeros((n, 3))
-    dt = 1.0 / imu_rate
-    for i in range(n):
-        i0, i1 = max(i - 1, 0), min(i + 1, n - 1)
-        dR = (R_b_w[i1] - R_b_w[i0]) / ((i1 - i0) * dt)
-        W = R_b_w[i].T @ dR
-        gyro[i] = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) / 2.0
+    # Analytic body angular rate: for R_wb = Rx(roll) B(th) (each factor a
+    # world->body map with generator -[e_axis]x), w_b = droll e1 + dth Rx e2
+    # (B's middle row is world z, so its generator axis is body y).
+    gyro = _analytic_gyro(roll, droll, np.zeros(n), np.zeros(n), th, dth)
 
     g_w = np.array([0.0, 0.0, -GRAVITY])
     acc = np.einsum("nij,nj->ni", R_w_b, a_w - g_w)
 
     return SimTrajectory(t=t, p=p, v=v, R_w_b=R_w_b, gyro=gyro, acc=acc)
+
+
+def _compose_rotations(roll, pitch, psi):
+    """Vectorized R_w_b(t) = Rx(roll) Ry(pitch) B(psi), where B's rows are
+    [-sin, cos, 0; 0, 0, 1; cos, sin, 0] (tangent-following base: body x =
+    orbit tangent, body y = world up, body z = outward radial)."""
+    n = roll.shape[0]
+    c, s = np.cos(psi), np.sin(psi)
+    z = np.zeros(n)
+    o = np.ones(n)
+    base = np.stack(
+        [np.stack([-s, c, z], -1), np.stack([z, z, o], -1), np.stack([c, s, z], -1)],
+        axis=1,
+    )
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.stack(
+        [np.stack([cp, z, -sp], -1), np.stack([z, o, z], -1), np.stack([sp, z, cp], -1)],
+        axis=1,
+    )
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rx = np.stack(
+        [np.stack([o, z, z], -1), np.stack([z, cr, sr], -1), np.stack([z, -sr, cr], -1)],
+        axis=1,
+    )
+    return np.einsum("nij,njk,nkl->nil", Rx, Ry, base)
+
+
+def _analytic_gyro(roll, droll, pitch, dpitch, psi, dpsi):
+    """Exact body angular rate of R_w_b = Rx(roll) Ry(pitch) B(psi).
+
+    Each world->body factor A satisfies dA/dt = -thdot [e_axis]x A (axis x
+    for Rx, y for both Ry and B), so stacking the chain rule:
+        w_b = droll e1 + dpitch Rx e2 + dpsi Rx Ry e2.
+    Verified against central differences of the rotation sequence."""
+    n = roll.shape[0]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    # Rx e2 = (0, cr, -sr); Rx Ry e2 = Rx (0,1,0) = same — Ry e2 = e2.
+    w = np.zeros((n, 3))
+    w[:, 0] = droll
+    w[:, 1] = (dpitch + dpsi) * cr
+    w[:, 2] = -(dpitch + dpsi) * sr
+    del cp, sp
+    return w
 
 
 def _rot_y(a):
@@ -138,54 +172,88 @@ def make_stress_trajectory(
     the harder synthetic stand-in for this environment, which has no
     dataset files.
 
-    Velocity and specific force are obtained by central differences at IMU
-    rate (error O(dt^2) ~ 2.5e-5, far below the synthetic IMU noise),
-    keeping the position/attitude expressions free to be arbitrary."""
+    Every derivative here is ANALYTIC — including the orbit phase, whose
+    rate integral has a closed form — so the synthesized IMU is exactly
+    consistent with the position/attitude ground truth (the round-2
+    central-difference version had gyro error spikes 250x the circle
+    scene's, docs/STRESS_NOTES.md; dead-reckoning the noise-free IMU now
+    drifts only by the filter integrator's own discretization error)."""
     n = int(duration * imu_rate) + 1
     t = np.arange(n) / imu_rate
-    dt = 1.0 / imu_rate
 
-    # Smooth spin-up phase like make_circle_trajectory.
+    # Smooth spin-up phase like make_circle_trajectory.  ramp is C0 at the
+    # t_static kink (its slope jumps 0 -> 1/t_ramp there — an acceleration
+    # step, which an IMU represents exactly as a sample-level jump).
     u = np.maximum(t - t_static, 0.0)
+    s = (t >= t_static).astype(float)  # du/dt
     ex = np.exp(-u / t_ramp)
     ramp = 1.0 - ex
+    dramp = s * ex / t_ramp
+    ddramp = -s * ex / t_ramp**2
+
+    def osc(amp, period, phase=0.0):
+        """amp * ramp * sin(w u + phase) with analytic d/dt and d2/dt2."""
+        w = 2.0 * np.pi / period
+        sn, cs = np.sin(w * u + phase), np.cos(w * u + phase)
+        f = amp * ramp * sn
+        df = amp * (dramp * sn + ramp * w * cs * s)
+        ddf = amp * (ddramp * sn + 2.0 * dramp * w * cs - ramp * w * w * sn * s)
+        return f, df, ddf
 
     # Angular phase with strong speed modulation (dips to ~(1-speed_mod) of
     # the base rate -> low-parallax stretches).
-    # th(t) = omega * integral of ramp(t) * (1 + speed_mod*sin(2 pi t/29)).
-    rate = omega * ramp * (1.0 + speed_mod * np.sin(2.0 * np.pi * u / 29.0))
-    th = np.concatenate([[0.0], np.cumsum(0.5 * (rate[1:] + rate[:-1]) * dt)])
+    #   rate(u) = omega (1 - e^{-u/T}) (1 + m sin(a u)),  a = 2 pi / 29
+    # whose integral is closed-form (exponential-times-sinusoid terms).
+    a29 = 2.0 * np.pi / 29.0
+    sn29, cs29 = np.sin(a29 * u), np.cos(a29 * u)
+    rate = omega * ramp * (1.0 + speed_mod * sn29)
+    drate = omega * (dramp * (1.0 + speed_mod * sn29) + ramp * speed_mod * a29 * cs29 * s)
+    b = -1.0 / t_ramp
+    # I(u) = int_0^u e^{bx} sin(a x) dx = [e^{bx}(b sin - a cos)]/(a^2+b^2) + a/(a^2+b^2)
+    I = (ex * (b * sn29 - a29 * cs29) + a29) / (a29 * a29 + b * b)
+    th = omega * (
+        u
+        + speed_mod * (1.0 - cs29) / a29
+        + t_ramp * (ex - 1.0)
+        - speed_mod * I
+    )
 
-    r_orb = base_radius + radius_amp * ramp * np.sin(2.0 * np.pi * u / 37.0)
-    z = z_amp * ramp * np.sin(2.0 * np.pi * u / 11.0)
-    p = np.stack([r_orb * np.cos(th), r_orb * np.sin(th), z], axis=1)
-
-    # Central-difference velocity (endpoints one-sided).
-    v = np.gradient(p, dt, axis=0)
-    a_w = np.gradient(v, dt, axis=0)
+    r_osc, dr_osc, ddr_osc = osc(radius_amp, 37.0)
+    r_orb = base_radius + r_osc
+    z, dz, ddz = osc(z_amp, 11.0)
+    cth, sth = np.cos(th), np.sin(th)
+    p = np.stack([r_orb * cth, r_orb * sth, z], axis=1)
+    v = np.stack(
+        [
+            dr_osc * cth - r_orb * sth * rate,
+            dr_osc * sth + r_orb * cth * rate,
+            dz,
+        ],
+        axis=1,
+    )
+    a_w = np.stack(
+        [
+            ddr_osc * cth
+            - 2.0 * dr_osc * sth * rate
+            - r_orb * cth * rate**2
+            - r_orb * sth * drate,
+            ddr_osc * sth
+            + 2.0 * dr_osc * cth * rate
+            - r_orb * sth * rate**2
+            + r_orb * cth * drate,
+            ddz,
+        ],
+        axis=1,
+    )
 
     # Attitude: tangent-following base (cameras along body +z look at the
     # outer wall) with roll/pitch/yaw oscillations at incommensurate rates.
-    roll = roll_amp * ramp * np.sin(2.0 * np.pi * u / 7.3)
-    pitch = pitch_amp * ramp * np.sin(2.0 * np.pi * u / 5.1 + 0.7)
-    yaw = yaw_amp * ramp * np.sin(2.0 * np.pi * u / 9.7 + 1.3)
-    R_w_b = np.empty((n, 3, 3))
-    for i in range(n):
-        cth, sth = np.cos(th[i] + yaw[i]), np.sin(th[i] + yaw[i])
-        base = np.array(
-            [[-sth, cth, 0.0], [0.0, 0.0, 1.0], [cth, sth, 0.0]]
-        )  # rows: body axes in world coords
-        R_w_b[i] = _rot_x(roll[i]) @ _rot_y(pitch[i]) @ base
-
-    # Body angular rate from the rotation sequence (same scheme as
-    # make_circle_trajectory).
-    R_b_w = R_w_b.transpose(0, 2, 1)
-    gyro = np.zeros((n, 3))
-    for i in range(n):
-        i0, i1 = max(i - 1, 0), min(i + 1, n - 1)
-        dR = (R_b_w[i1] - R_b_w[i0]) / ((i1 - i0) * dt)
-        W = R_b_w[i].T @ dR
-        gyro[i] = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) / 2.0
+    roll, droll, _ = osc(roll_amp, 7.3)
+    pitch, dpitch, _ = osc(pitch_amp, 5.1, 0.7)
+    yaw, dyaw, _ = osc(yaw_amp, 9.7, 1.3)
+    psi = th + yaw
+    R_w_b = _compose_rotations(roll, pitch, psi)
+    gyro = _analytic_gyro(roll, droll, pitch, dpitch, psi, rate + dyaw)
 
     g_w = np.array([0.0, 0.0, -GRAVITY])
     acc = np.einsum("nij,nj->ni", R_w_b, a_w - g_w)

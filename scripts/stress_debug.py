@@ -12,6 +12,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import jax
+
+    if "STRESS_PLATFORM" in os.environ:
+        jax.config.update("jax_platforms", os.environ["STRESS_PLATFORM"])
+    # Debug runs often execute several at a time; concurrent writers have
+    # corrupted the shared compilation cache before (segfault on read).
+    jax.config.update("jax_enable_compilation_cache", False)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -66,6 +74,37 @@ def main():
     R, t = horn_align(e, g)
     err = np.linalg.norm((e @ R.T + t) - g, axis=1)
 
+    # Error-structure decomposition: how much of the ATE is a global SCALE
+    # error (disparity/depth bias) vs heading drift vs z?
+    ec, gc = e - e.mean(0), g - g.mean(0)
+    er = ec @ R.T  # rotation-aligned, centered estimate
+    s_opt = float(np.sum(er * gc) / np.sum(er * er))
+    err_s = np.linalg.norm(s_opt * er - gc, axis=1)
+    d = er - gc
+    print(
+        f"scale_opt={s_opt:.5f}  ate_rigid={np.sqrt((err**2).mean()):.4f}  "
+        f"ate_similarity={np.sqrt((err_s**2).mean()):.4f}  "
+        f"axis_rmse=({np.sqrt((d[:,0]**2).mean()):.4f},"
+        f"{np.sqrt((d[:,1]**2).mean()):.4f},{np.sqrt((d[:,2]**2).mean()):.4f})"
+    )
+    dump = os.environ.get("STRESS_DUMP")
+    if dump:
+        np.savez(
+            dump,
+            t=out.result.times[ia], est=e, gt=g, R=R, toff=t,
+            pos_cov=out.result.pos_cov[ia],
+            tracks=out.result.tracking["after_ransac"][ia],
+        )
+    # Residual yaw between aligned estimate and gt, per time bucket (a
+    # linear trend here = heading-rate drift).
+    ang = np.degrees(
+        np.arctan2(gc[:, 1], gc[:, 0]) - np.arctan2(er[:, 1], er[:, 0])
+    )
+    ang = (ang + 180.0) % 360.0 - 180.0
+    Bv = max(1, len(ang) // 12)
+    print("yaw residual [deg] per bucket:",
+          " ".join(f"{ang[s:s+Bv].mean():+.2f}" for s in range(0, len(ang), Bv)))
+
     traj = make_stress_trajectory(duration=duration)
     idx = np.arange(0, traj.t.shape[0], 10)
     ev = make_stress_events(traj, idx)
@@ -74,10 +113,14 @@ def main():
     B = max(1, len(err) // 24)
     for s in range(0, len(err), B):
         sl = slice(s, min(s + B, len(err)))
+        # Event/tracking arrays are indexed by frame; err is indexed by the
+        # association subset — map the bucket through ia so the columns stay
+        # aligned even if associate() drops frames.
+        fi = ia[sl]
         print(
-            f"{out.result.times[sl][0]:6.1f}  {err[sl].max():.4f}  "
-            f"{ev.tex_scale[sl].min():.2f}  {ev.occ_radius[sl].max():.2f}  "
-            f"{ev.gain[sl][0]:.2f}  {tr[sl].min()}"
+            f"{out.result.times[fi][0]:6.1f}  {err[sl].max():.4f}  "
+            f"{ev.tex_scale[fi].min():.2f}  {ev.occ_radius[fi].max():.2f}  "
+            f"{ev.gain[fi][0]:.2f}  {tr[fi].min()}"
         )
 
 

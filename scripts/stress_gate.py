@@ -11,7 +11,13 @@ Prints one JSON line with the ATE and the margin vs the 0.13 m bar
 /root/reference/README.md:81).
 
 Env knobs: STRESS_DURATION, STRESS_CHUNK, STRESS_METHOD, STRESS_NS_ITERS,
-STRESS_FILTER_PRECISION, STRESS_SEED.
+STRESS_FILTER_PRECISION, STRESS_SEED, STRESS_PLATFORM.
+
+Multi-seed robustness protocol (VERDICT round 2, next #4): STRESS_SEEDS=N
+runs seeds 0..N-1, each with a DIFFERENT IMU-noise draw and landmark
+layout, and reports per-seed ATEs + median/worst — the gate is judged on
+the WORST seed (single-seed green was measured at 0.32-0.97 m run-to-run
+in round 2).
 """
 import json
 import os
@@ -23,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    if "STRESS_PLATFORM" in os.environ:
+        jax.config.update("jax_platforms", os.environ["STRESS_PLATFORM"])
+
+    import numpy as np
     import jax.numpy as jnp
 
     from msckf_stereo_c_tpu.config import FilterConfig, FrontendConfig
@@ -30,38 +41,62 @@ def main():
 
     duration = float(os.environ.get("STRESS_DURATION", "130"))
     method = os.environ.get("STRESS_METHOD", "schur")
+    n_seeds = int(os.environ.get("STRESS_SEEDS", "1"))
+    seed0 = int(os.environ.get("STRESS_SEED", "0"))
     mcfg = FilterConfig(
         ns_iters=int(os.environ.get("STRESS_NS_ITERS", "10")),
         matmul_precision=os.environ.get("STRESS_FILTER_PRECISION", "tensorfloat32"),
     )
     fcfg = FrontendConfig()
 
+    gate = 0.13
     t0 = time.time()
-    out = run_stress_gate(
-        duration=duration,
-        chunk=int(os.environ.get("STRESS_CHUNK", "64")),
-        fcfg=fcfg,
-        mcfg=mcfg,
-        filter_dtype=jnp.float32,
-        method=method,
-        seed=int(os.environ.get("STRESS_SEED", "0")),
-    )
+    runs = []
+    for seed in range(seed0, seed0 + n_seeds):
+        out = run_stress_gate(
+            duration=duration,
+            chunk=int(os.environ.get("STRESS_CHUNK", "64")),
+            fcfg=fcfg,
+            mcfg=mcfg,
+            filter_dtype=jnp.float32,
+            method=method,
+            seed=seed,
+            # seed 0 keeps the historical layout (lm_seed=1); other seeds
+            # re-draw the landmark field too.
+            lm_seed=1 if seed == 0 else 1000 + seed,
+        )
+        runs.append(out)
+        if n_seeds > 1:
+            print(
+                json.dumps(
+                    {
+                        "seed": seed,
+                        "ate_rmse": round(out.ate_rmse, 4),
+                        "ate_max": round(out.ate_max, 4),
+                        "min_tracks": out.min_tracks_after_ransac,
+                    }
+                ),
+                flush=True,
+            )
     wall = time.time() - t0
 
-    gate = 0.13
+    ates = np.array([r.ate_rmse for r in runs])
+    worst = runs[int(np.argmax(ates))]
     print(
         json.dumps(
             {
-                "metric": "stress_ate_rmse",
-                "value": round(out.ate_rmse, 4),
+                "metric": "stress_ate_rmse_worst" if n_seeds > 1 else "stress_ate_rmse",
+                "value": round(float(ates.max()), 4),
                 "unit": "m",
                 "gate": gate,
-                "margin_pct": round(100.0 * (1.0 - out.ate_rmse / gate), 1),
-                "ate_mean": round(out.ate_mean, 4),
-                "ate_max": round(out.ate_max, 4),
-                "duration_s": out.duration,
-                "frames": out.n_frames,
-                "min_tracks": out.min_tracks_after_ransac,
+                "margin_pct": round(100.0 * (1.0 - float(ates.max()) / gate), 1),
+                "ate_median": round(float(np.median(ates)), 4),
+                "ate_mean": round(worst.ate_mean, 4),
+                "ate_max": round(worst.ate_max, 4),
+                "n_seeds": n_seeds,
+                "duration_s": worst.duration,
+                "frames": worst.n_frames,
+                "min_tracks": int(min(r.min_tracks_after_ransac for r in runs)),
                 "device": jax.devices()[0].device_kind,
                 "wall_s": round(wall, 1),
             }

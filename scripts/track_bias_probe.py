@@ -13,6 +13,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+
+    # Frontend-only probe: CPU by default (deterministic, no tunnel); set
+    # PROBE_PLATFORM=axon to measure the TPU path.
+    jax.config.update("jax_platforms", os.environ.get("PROBE_PLATFORM", "cpu"))
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -141,6 +146,26 @@ def main():
     print(f"cam0 dv: mean {allr[:,2].mean():+.4f} px")
     print(f"disparity err: mean {allr[:,3].mean():+.4f} px  p50/p90 "
           f"{np.percentile(np.abs(allr[:,3]),50):.3f}/{np.percentile(np.abs(allr[:,3]),90):.3f}")
+    # Outlier structure: wrong stereo locks ride ALONG the epipolar line and
+    # pass the epipolar gate; quantify how much of the mean they carry.
+    ad = np.abs(allr[:, 3])
+    for thr in (0.1, 0.5, 2.0, 5.0):
+        m = ad > thr
+        print(f"|ddisp|>{thr:4.1f}: {m.mean()*100:5.2f}% of obs, "
+              f"mean ddisp there {allr[m,3].mean() if m.any() else 0:+.3f} px")
+    # Per-track: born bad vs goes bad.
+    med_by_track = {f: np.median([r[3] for r in v]) for f, v in res.items()}
+    bad = [f for f, m in med_by_track.items() if abs(m) > 0.5]
+    print(f"tracks with |median ddisp|>0.5: {len(bad)} / {len(res)}")
+    born_bad = 0
+    for f in bad:
+        first = sorted(res[f])[0]
+        if abs(first[3]) > 0.5:
+            born_bad += 1
+    print(f"  of which born bad (|ddisp|>0.5 at first obs): {born_bad}")
+    if bad:
+        lt = [len(res[f]) for f in bad]
+        print(f"  bad-track lifetime: mean {np.mean(lt):.1f} max {np.max(lt)} obs")
     # Bias vs track age (drift signature).
     print(" age  n      du0      dv0     ddisp")
     for a0, a1 in [(0, 1), (1, 3), (3, 6), (6, 10), (10, 15), (15, 25), (25, 60)]:

@@ -1,11 +1,16 @@
 """Short-horizon CPU run of the V1_01-realistic stress gate (the full
-130 s run is scripts/stress_gate.py on the TPU; VERDICT round 1, next #2).
+130 s multi-seed run is scripts/stress_gate.py on the TPU; VERDICT round 1
+next #2, round 2 next #1/#4).
 
 Uses the same code path (sim/stress.py: stress trajectory + stress events
 + device renderer -> full pipeline, f32 filter + schur + Newton-Schulz =
 the hardware configuration) on a shortened sequence whose stress windows
 scale with duration: the run still crosses both texture-poor windows, the
-occluder sweep, and the exposure drift."""
+occluder sweep, and the exposure drift.
+
+The gate run executes ONCE (module fixture); the tracking-survival and
+ATE assertions are separate tests so a tracking collapse can never hide
+inside an accuracy xfail (ADVICE round 2)."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,25 +19,31 @@ from msckf_stereo_c_tpu.config import FilterConfig
 from msckf_stereo_c_tpu.sim.stress import run_stress_gate
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="long-horizon vision drift under investigation: filter-only ATE "
-    "at 36 s is 0.018 m (healthy) but the full image pipeline accumulates "
-    "~0.3-0.5 m regardless of KLT impl/precision — see docs/STRESS_NOTES.md",
-)
-def test_stress_gate_short():
-    out = run_stress_gate(
+@pytest.fixture(scope="module")
+def gate_out():
+    return run_stress_gate(
         duration=36.0,
         chunk=128,
         mcfg=FilterConfig(ns_iters=10, matmul_precision="tensorfloat32"),
         filter_dtype=jnp.float32,
         method="schur",
     )
-    # Tracking survives the texture-poor windows and the occluder sweep
-    # (the filter never free-coasts on IMU alone).
-    assert out.min_tracks_after_ransac > 8, out.min_tracks_after_ransac
-    # The end-to-end gate (BASELINE.json: <= 0.13 m on V1_01-like motion).
-    assert out.ate_rmse < 0.13, f"stress ATE {out.ate_rmse:.4f} m"
+
+
+def test_stress_tracking_survives(gate_out):
+    """Tracking survives the texture-poor windows and the occluder sweep
+    (the filter never free-coasts on IMU alone)."""
+    assert gate_out.min_tracks_after_ransac > 8, gate_out.min_tracks_after_ransac
+
+
+def test_stress_gate_ate(gate_out):
+    """The end-to-end gate (BASELINE.json: <= 0.13 m on V1_01-like motion).
+
+    Round 3 closed the round-2 drift (0.32-0.97 m): wrong stereo locks along
+    the epipolar line are now killed at birth by the left-right round-trip
+    check, and the stress trajectory's IMU synthesis is fully analytic —
+    see docs/STRESS_NOTES.md."""
+    assert gate_out.ate_rmse < 0.13, f"stress ATE {gate_out.ate_rmse:.4f} m"
 
 
 def test_stress_events_actually_fire():

@@ -1,0 +1,99 @@
+"""Harness-health tests for the synthetic trajectory generators (VERDICT
+round 2, next #2: "make the gate measure the engine, not the sim").
+
+The stress gate is only meaningful if the synthesized IMU is exactly
+consistent with the position/attitude ground truth: round 2's
+central-difference stress trajectory had gyro error spikes 250x the
+circle's, and dead-reckoning its *noise-free* IMU already drifted 0.44 m
+at 36 s — i.e. the gate was partly measuring the simulator.  Both
+generators now use fully analytic derivatives (sim/trajectory.py); these
+tests pin that property.
+"""
+import numpy as np
+import pytest
+
+from msckf_stereo_c_tpu.sim.trajectory import (
+    GRAVITY,
+    make_circle_trajectory,
+    make_stress_trajectory,
+)
+
+
+@pytest.fixture(scope="module", params=["circle", "stress"])
+def traj(request):
+    make = make_circle_trajectory if request.param == "circle" else make_stress_trajectory
+    return make(duration=20.0)
+
+
+def test_velocity_is_derivative_of_position(traj):
+    dt = float(traj.t[1] - traj.t[0])
+    vn = np.gradient(traj.p, dt, axis=0)
+    m = slice(5, -5)
+    # Central-difference truncation is O(dt^2 |p'''|) ~ 1e-3 here.
+    assert np.abs(vn[m] - traj.v[m]).max() < 2e-3
+
+
+def test_acceleration_is_derivative_of_velocity(traj):
+    dt = float(traj.t[1] - traj.t[0])
+    an = np.gradient(traj.v, dt, axis=0)
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    a_w = np.einsum("nji,nj->ni", traj.R_w_b, traj.acc) + g_w
+    # Exclude the t_static kink (acceleration legitimately steps there).
+    kink = np.argmax(traj.t >= 1.5)
+    m = np.ones(len(traj.t), bool)
+    m[:5] = m[-5:] = False
+    m[kink - 3 : kink + 4] = False
+    assert np.abs(an[m] - a_w[m]).max() < 5e-3
+
+
+def test_gyro_matches_rotation_sequence(traj):
+    """Analytic body rate vs central differences of R (interior samples)."""
+    dt = float(traj.t[1] - traj.t[0])
+    R_b_w = traj.R_w_b.transpose(0, 2, 1)
+    worst = 0.0
+    for i in range(5, len(traj.t) - 5, 13):
+        dR = (R_b_w[i + 1] - R_b_w[i - 1]) / (2 * dt)
+        W = R_b_w[i].T @ dR
+        g = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) / 2
+        worst = max(worst, np.abs(g - traj.gyro[i]).max())
+    assert worst < 1e-4, worst
+
+
+def test_dead_reckoning_noise_free_imu(traj):
+    """Integrating the noise-free IMU must reproduce the trajectory to the
+    integrator's own discretization error — the round-2 stress generator
+    failed this at 0.44 m / 36 s; the analytic one holds ~0.05 m level."""
+    dt = float(traj.t[1] - traj.t[0])
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    n = len(traj.t)
+    p = traj.p[0].copy()
+    v = traj.v[0].copy()
+    R = traj.R_w_b[0].T.copy()  # body->world
+    err = 0.0
+    for i in range(n - 1):
+        w = 0.5 * (traj.gyro[i] + traj.gyro[i + 1])
+        th = w * dt
+        ang = np.linalg.norm(th)
+        K = np.array([[0, -th[2], th[1]], [th[2], 0, -th[0]], [-th[1], th[0], 0]])
+        if ang > 1e-12:
+            dR = np.eye(3) + np.sin(ang) / ang * K + (1 - np.cos(ang)) / ang**2 * (K @ K)
+        else:
+            dR = np.eye(3) + K
+        Rn = R @ dR
+        aw = 0.5 * (R @ traj.acc[i] + Rn @ traj.acc[i + 1]) + g_w
+        p = p + v * dt + 0.5 * aw * dt * dt
+        v = v + aw * dt
+        R = Rn
+        err = max(err, np.linalg.norm(p - traj.p[i + 1]))
+    assert err < 0.06, f"dead-reckon drift {err:.4f} m over 20 s"
+
+
+def test_starts_static():
+    """The gravity/bias init window (first 1.5 s) must be truly static."""
+    for make in (make_circle_trajectory, make_stress_trajectory):
+        tr = make(duration=5.0)
+        m = tr.t < 1.4
+        assert np.abs(tr.gyro[m]).max() < 1e-12
+        assert np.abs(tr.v[m]).max() < 1e-12
+        acc_err = tr.acc[m] - tr.acc[0]
+        assert np.abs(acc_err).max() < 1e-12

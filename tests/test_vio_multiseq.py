@@ -20,32 +20,35 @@ from msckf_stereo_c_tpu.parallel.vio_multiseq import (
     make_sharded_vio_runner,
 )
 from msckf_stereo_c_tpu.sim import make_circle_trajectory, make_wall_landmarks, synthesize_imu
-from msckf_stereo_c_tpu.sim.render import render_stereo_sequence
+from msckf_stereo_c_tpu.sim.render_jax import JaxRenderer, StressEvents
 
 FCFG = FrontendConfig(max_features=64)
 # The TPU flagship configuration (bench.py): schur method + Newton-Schulz
 # solvers, f32 filter.  Window/pool sizes reduced CPU-affordably; the
 # driver-side dryrun (__graft_entry__.dryrun_multichip) runs the full
-# M=20/K=128 shapes.
-MCFG = FilterConfig(max_cam_state_size=8, max_tracks=64, max_imu_per_frame=10, ns_iters=10)
+# M=20/K=128 shapes.  M=6 with T=10 frames (T >= M+2, VERDICT round 2 next
+# #5) so `_prune_cam_states` — the camera-compacted rank-12 schur update —
+# and the cam-cap overflow frames execute UNDER shard_map, not just vmap.
+MCFG = FilterConfig(max_cam_state_size=6, max_tracks=64, max_imu_per_frame=10, ns_iters=10)
 METHOD = "schur"
 
 
 def test_sharded_full_pipeline_matches_single_device():
     n_dev = len(jax.devices())
     assert n_dev == 8, f"conftest should provide 8 virtual CPU devices, got {n_dev}"
-    B, T = 8, 3
+    B, T = 8, 10
 
-    traj = make_circle_trajectory(duration=4.0)
+    traj = make_circle_trajectory(duration=6.0)
     lms = make_wall_landmarks(num=300, radius=8.0, seed=1)
     imu = synthesize_imu(traj, gyro_noise=1e-4, acc_noise=1e-3, seed=0)
+    renderer = JaxRenderer(np.asarray(lms), r_wall=8.0)
 
     # Eight genuinely different sequences: lane b starts at a different
     # trajectory offset, so every lane detects/tracks different features.
-    lane_idx = [np.array([300, 310, 320]) + 12 * b for b in range(B)]
+    lane_idx = [np.arange(300, 300 + 10 * T, 10) + 12 * b for b in range(B)]
     imgs0, imgs1, times, imus = [], [], [], []
     for idx in lane_idx:
-        i0, i1 = render_stereo_sequence(traj, lms, idx, r_wall=8.0)
+        i0, i1 = renderer.render_sequence(traj, idx, StressEvents.nominal(T))
         imgs0.append(i0)
         imgs1.append(i1)
         times.append(traj.t[idx].astype(np.float32))
@@ -100,11 +103,19 @@ def test_sharded_full_pipeline_matches_single_device():
                 np.asarray(poses.q_xyzw[b, k]), np.asarray(pose.q_xyzw), atol=1e-6
             )
         # Final filter state agrees too (covariance within f32 slack).
+        lane_final = jax.tree.map(lambda x: x[b], new_states)
         np.testing.assert_allclose(
-            np.asarray(jax.tree.map(lambda x: x[b], new_states).filt.imu.p),
+            np.asarray(lane_final.filt.imu.p),
             np.asarray(s.filt.imu.p),
             atol=1e-5,
         )
+        # T > M+1 guarantees the cam window filled and _prune_cam_states
+        # (camera-compacted rank-12 schur update) executed under shard_map;
+        # the pruned window count must match the single-device run exactly.
+        assert int(np.asarray(lane_final.filt.num_cams)) == int(
+            np.asarray(s.filt.num_cams)
+        )
+        assert int(np.asarray(s.filt.num_cams)) <= MCFG.max_cam_state_size
 
     # Lanes genuinely ran different inputs: the tracked feature positions
     # differ across lanes (poses barely diverge in 0.15 s — every lane's
