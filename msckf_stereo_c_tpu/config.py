@@ -137,6 +137,19 @@ class FrontendConfig:
     # its wrong locks do not persist); this is the TPU build's counterpart
     # safeguard for its cheaper carried-disparity design.
     stereo_lr_threshold: float = 1.0
+    # Translation-aware temporal prediction: back-project each track by its
+    # last stereo depth, displace by the filter's velocity estimate over the
+    # frame interval, reproject through the full lens model (and pre-scale
+    # the carried stereo disparity by the predicted depth change).  The
+    # reference predicts rotation only (predictFeatureTracking,
+    # image_processor.cpp:321-350) and absorbs translation flow with its
+    # 4-level pyramid; with temporal_levels=1 the translation flow
+    # (fx*v*dt/Z, ~17 px at 3.6 m and 2.7 m/s) must be predicted instead —
+    # measured on the 36 s stress/wall-8 scene: ATE 0.59 m (9% scale error,
+    # +/-7 deg yaw wander) -> 0.030 m with this on.  Applies only when the
+    # driver supplies the filter velocity (models/vio.py); standalone
+    # frontend calls without cam_vel always use the rotation-only warp.
+    translation_seed: bool = True
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob

@@ -60,6 +60,12 @@ class TrackerState(NamedTuple):
     # written by the merged stereo call and reused as the next frame's
     # temporal-KLT templates (see FrontendConfig.tmpl_carry).
     tmpl: jnp.ndarray
+    # Per-track cam0 depth estimate from the last stereo match (meters;
+    # 0 = unknown).  Feeds the translation-aware temporal prediction: the
+    # IMU homography warp only models rotation, and at close range / fast
+    # translation the translation-induced flow (fx*v*dt/Z, e.g. ~17 px at
+    # 3.6 m and 2.7 m/s) exceeds the single-level search radius.
+    depth: jnp.ndarray
 
 
 class FrontendParams(NamedTuple):
@@ -122,6 +128,7 @@ def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         response=jnp.zeros((N,), dtype),
         next_fid=jnp.zeros((), jnp.int32),
         tmpl=jnp.zeros((N, q, q), dtype),
+        depth=jnp.zeros((N,), dtype),
     )
 
 
@@ -301,6 +308,12 @@ def _stereo_match_merged(
     bnorm = jnp.sqrt(jnp.sum(bdir * bdir)) + 1e-12
     disp_along = ((xn_inf - un1) @ bdir) / bnorm
     ok = ok & (disp_along >= -0.5 * params.norm_pixel_unit)
+    # Per-lane depth estimate (disp_along = |t_xy|/Z in normalized units) —
+    # carried in TrackerState.depth for the translation-aware temporal
+    # prediction next frame.  Clamp: unmatched/at-infinity lanes read 0.
+    depth = jnp.where(
+        ok, bnorm / jnp.maximum(disp_along, bnorm / 1000.0), 0.0
+    ).astype(pts1.dtype)
 
     # Left-right consistency (see FrontendConfig.stereo_lr_threshold): track
     # the matched cam1 points back to cam0 at full resolution and require
@@ -316,7 +329,11 @@ def _stereo_match_merged(
         ok = ok & res_b.valid & (rt2 <= cfg.stereo_lr_threshold**2)
 
     tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
-    return (pts1[:n_surv], ok[:n_surv]), (pts1[n_surv:], ok[n_surv:]), tmpl
+    return (
+        (pts1[:n_surv], ok[:n_surv], depth[:n_surv]),
+        (pts1[n_surv:], ok[n_surv:], depth[n_surv:]),
+        tmpl,
+    )
 
 
 def _allocate_new_features(
@@ -329,6 +346,7 @@ def _allocate_new_features(
     img_shape: Tuple[int, int],
     fill_to: int,
     cand_tmpl: jnp.ndarray | None = None,
+    cand_depth: jnp.ndarray | None = None,
 ):
     """Fill under-populated grids with stereo-matched candidates (reference
     addNewFeatures / initializeFirstFrame fill, image_processor.cpp:735-750).
@@ -367,11 +385,14 @@ def _allocate_new_features(
     tmpl = state.tmpl
     if cand_tmpl is not None:
         tmpl = tmpl.at[target].set(cand_tmpl.astype(tmpl.dtype), mode="drop")
+    depth = state.depth
+    if cand_depth is not None:
+        depth = depth.at[target].set(cand_depth.astype(depth.dtype), mode="drop")
     n_added = jnp.sum(accept & (acc_rank < n_free)).astype(jnp.int32)
 
     return state._replace(
         pts0=pts0, pts1=pts1, fid=fid, lifetime=lifetime, response=response,
-        next_fid=state.next_fid + n_added, tmpl=tmpl,
+        next_fid=state.next_fid + n_added, tmpl=tmpl, depth=depth,
     )
 
 
@@ -403,12 +424,17 @@ def frontend_step(
     is_first: jnp.ndarray,  # () bool
     params: FrontendParams,
     cfg: FrontendConfig,
+    cam_vel: jnp.ndarray | None = None,  # (3,) cam0-frame linear velocity
 ):
-    """One stereo frame through the tracker.  Returns (state, FrameOutput)."""
+    """One stereo frame through the tracker.  Returns (state, FrameOutput).
+
+    ``cam_vel``: optional cam0-frame linear velocity (from the filter's
+    velocity estimate, see vio._run_frontend) enabling the translation-aware
+    temporal prediction; None keeps the reference's rotation-only warp."""
     with matmul_precision_scope(cfg.matmul_precision):
         return _frontend_step_impl(
             state, pyr0_prev, pyr0_curr, pyr1_curr, mean_gyro, dt,
-            is_first, params, cfg,
+            is_first, params, cfg, cam_vel,
         )
 
 
@@ -422,24 +448,50 @@ def _frontend_step_impl(
     is_first: jnp.ndarray,
     params: FrontendParams,
     cfg: FrontendConfig,
+    cam_vel: jnp.ndarray | None = None,
 ):
     img_shape = pyr0_curr[0].shape
     H, W = img_shape
     before_tracking = jnp.sum(state.fid >= 0)
 
     # --- Track existing features cam0 prev -> curr (trackFeatures). ---
-    # IMU-predicted homography warp K R_p_c K^-1 (predictFeatureTracking).
     w_cam = params.R_imu_cam0 @ mean_gyro
     R_p_c = so3_exp(w_cam * dt).T
-    fx, fy, cx, cy = params.K0[0], params.K0[1], params.K0[2], params.K0[3]
-    Km = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], state.pts0.dtype)
-    Kinv = jnp.array(
-        [[1 / fx, 0, -cx / fx], [0, 1 / fy, -cy / fy], [0, 0, 1]], state.pts0.dtype
-    )
-    Hm = Km @ R_p_c @ Kinv
-    ph = jnp.concatenate([state.pts0, jnp.ones_like(state.pts0[:, :1])], axis=1)
-    warped = ph @ Hm.T
-    guess = warped[:, :2] / warped[:, 2:3]
+    if cam_vel is None:
+        # IMU-predicted homography warp K R_p_c K^-1 (the reference's
+        # rotation-only predictFeatureTracking, image_processor.cpp:321-350).
+        fx, fy, cx, cy = params.K0[0], params.K0[1], params.K0[2], params.K0[3]
+        Km = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], state.pts0.dtype)
+        Kinv = jnp.array(
+            [[1 / fx, 0, -cx / fx], [0, 1 / fy, -cy / fy], [0, 0, 1]], state.pts0.dtype
+        )
+        Hm = Km @ R_p_c @ Kinv
+        ph = jnp.concatenate([state.pts0, jnp.ones_like(state.pts0[:, :1])], axis=1)
+        warped = ph @ Hm.T
+        guess = warped[:, :2] / warped[:, 2:3]
+        depth_ratio = jnp.ones_like(state.depth)
+    else:
+        # Translation-aware geometric prediction (no reference equivalent —
+        # the reference compensates rotation only and relies on its 4-level
+        # pyramid to absorb translation flow).  Each track's last stereo
+        # depth back-projects it to a 3D point in the previous cam0 frame;
+        # the camera moves cam_vel*dt; reproject through the full lens
+        # model.  Depth-unknown tracks (depth=0) fall back to rotation-only
+        # via an effectively infinite depth.
+        xn = undistort_points(
+            state.pts0, params.K0, params.D0, model=cfg.distortion_model0
+        )
+        z0 = jnp.where(state.depth > 0.3, state.depth, 1e6)
+        X = jnp.concatenate([xn, jnp.ones_like(xn[:, :1])], axis=1) * z0[:, None]
+        Xp = (X - cam_vel * dt) @ R_p_c.T
+        zc = jnp.maximum(Xp[:, 2], 0.3)
+        guess = distort_points(
+            Xp[:, :2] / zc[:, None], params.K0, params.D0,
+            model=cfg.distortion_model0,
+        )
+        # Stereo disparity scales as 1/Z: pre-scale the carried disparity
+        # by the predicted depth change (ratio ~1 for depth-unknown lanes).
+        depth_ratio = jnp.clip(z0 / zc, 0.5, 2.0)
 
     active = state.fid >= 0
     klt = _klt_fn(cfg.klt_impl)
@@ -475,8 +527,12 @@ def _frontend_step_impl(
     # --- Stereo match on the current pair: surviving tracks (carried
     # disparity guess, finest two levels) and candidates (extrinsic guess,
     # full pyramid) in one merged fine-level pass. ---
-    disparity_guess = tracked_pts0 + (state.pts1 - state.pts0)
-    (pts1, matched), (cand_pts1, cand_ok), (surv_tmpl, cand_tmpl) = _stereo_match_merged(
+    disparity_guess = tracked_pts0 + (state.pts1 - state.pts0) * depth_ratio[:, None]
+    (
+        (pts1, matched, surv_depth),
+        (cand_pts1, cand_ok, cand_depth),
+        (surv_tmpl, cand_tmpl),
+    ) = _stereo_match_merged(
         pyr0_curr, pyr1_curr, tracked_pts0, disparity_guess, tracked,
         cand_xy, cand_valid, params, cfg, img_shape,
     )
@@ -504,6 +560,7 @@ def _frontend_step_impl(
         pts1=jnp.where(surv[:, None], pts1, state.pts1),
         fid=jnp.where(surv, state.fid, -1),
         lifetime=jnp.where(surv, state.lifetime + 1, 0),
+        depth=jnp.where(surv, surv_depth, 0.0),
         tmpl=state.tmpl if surv_tmpl is None else jnp.where(
             surv[:, None, None], surv_tmpl.astype(state.tmpl.dtype), state.tmpl
         ),
@@ -512,7 +569,7 @@ def _frontend_step_impl(
     # --- Fill under-populated grids with matched candidates; prune. ---
     state = _allocate_new_features(
         state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, img_shape,
-        cfg.grid_min_feature_num, cand_tmpl=cand_tmpl,
+        cfg.grid_min_feature_num, cand_tmpl=cand_tmpl, cand_depth=cand_depth,
     )
     state = _prune_grid_features(state, cfg, img_shape)
 

@@ -29,6 +29,7 @@ from .msckf import FrameFeatures, MsckfParams, filter_step, make_params
 from .propagation import ImuBatch
 from .runner import apply_gravity_init, pack_imu_batches
 from .state import FilterState, init_filter_state
+from ..utils.quaternion import jpl_to_rot
 
 
 class VioState(NamedTuple):
@@ -84,6 +85,15 @@ def _run_frontend(
     is_first = state.prev_time < 0
     dt = jnp.where(is_first, jnp.zeros_like(state.prev_time), time - state.prev_time)
 
+    # The filter's velocity estimate (world frame, at the previous frame's
+    # state) rotated into cam0 enables the tracker's translation-aware
+    # prediction — without it, translation-induced flow (fx*v*dt/Z) can
+    # exceed the KLT search radius at close range / fast motion.
+    cam_vel = None
+    if fcfg.translation_seed:
+        R_wi = jpl_to_rot(state.filt.imu.q)
+        cam_vel = fparams.R_imu_cam0 @ (R_wi @ state.filt.imu.v).astype(img0.dtype)
+
     tracker, out = frontend_step(
         state.tracker,
         state.pyr0_prev,
@@ -94,6 +104,7 @@ def _run_frontend(
         is_first,
         fparams,
         fcfg,
+        cam_vel=cam_vel,
     )
 
     frame = FrameFeatures(

@@ -18,3 +18,9 @@ jax.config.update("jax_enable_x64", True)
 # persistent compilation cache so repeat test runs skip recompilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NB: XLA's executable.serialize()/deserialize can abort() the process on
+# certain large scan executables (observed three times, always on
+# test_recovery's programs, in both the cache get and put paths; disk and
+# RAM were fine).  test_recovery disables the persistent cache for its
+# module scope; if the abort ever shows up in another module, do the same
+# there.

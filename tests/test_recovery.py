@@ -9,6 +9,27 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_compilation_cache():
+    """XLA's executable (de)serialization abort()s the whole process on this
+    module's long-scan programs (observed four times, in both the cache get
+    and put paths — a jaxlib bug, unreachable from Python).  Keep these
+    programs out of the persistent cache; everything else still caches.
+    NB flipping jax_enable_compilation_cache after backend init is a no-op
+    (_get_cache ignores it once _cache exists), so bypass at the module
+    seam compiler.py actually calls."""
+    from jax._src import compilation_cache as cc
+
+    orig_put = cc.put_executable_and_time
+    orig_get = cc.get_executable_and_time
+    cc.put_executable_and_time = lambda *a, **k: None
+    cc.get_executable_and_time = lambda *a, **k: (None, None)
+    yield
+    cc.put_executable_and_time = orig_put
+    cc.get_executable_and_time = orig_get
 
 from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig
 from msckf_stereo_c_tpu.io import evaluate_ate
