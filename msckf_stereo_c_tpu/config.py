@@ -150,6 +150,20 @@ class FrontendConfig:
     # driver supplies the filter velocity (models/vio.py); standalone
     # frontend calls without cam_vel always use the rotation-only warp.
     translation_seed: bool = True
+    # Anchor-template refinement: after the frame-to-frame temporal KLT,
+    # re-align each track against its BIRTH template (stored once at
+    # allocation) and accept the correction when it converges within
+    # anchor_radius px.  Frame-to-frame LK re-anchors its template at the
+    # tracked sub-pixel position every frame, so sub-pixel localization
+    # bias ACCUMULATES along a track's life (measured on the stress scene:
+    # mean vertical residual vs ground truth drifts +0.02 -> -0.61 px by
+    # age 15-25, which integrates into a z-position drift of ~-2 mm/s —
+    # the camera v-axis is world-aligned at every orbit azimuth, so
+    # vertical drift never cancels).  Anchoring bounds the drift by one
+    # alignment bias.  The reference has no equivalent (same accumulation
+    # exists there).  Active only with the corr/tmpl-carry configuration.
+    anchor_refine: bool = True
+    anchor_radius: float = 2.0
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob

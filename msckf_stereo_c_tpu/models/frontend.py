@@ -66,6 +66,10 @@ class TrackerState(NamedTuple):
     # translation the translation-induced flow (fx*v*dt/Z, e.g. ~17 px at
     # 3.6 m and 2.7 m/s) exceeds the single-level search radius.
     depth: jnp.ndarray
+    # Birth-time template patches (N, patch+2, patch+2), fixed for the
+    # track's life — the drift-free reference for anchor refinement
+    # (FrontendConfig.anchor_refine).
+    anchor: jnp.ndarray
 
 
 class FrontendParams(NamedTuple):
@@ -92,6 +96,9 @@ class FrameOutput(NamedTuple):
     after_tracking: jnp.ndarray
     after_matching: jnp.ndarray
     after_ransac: jnp.ndarray
+    # Diagnostics: tracks whose anchor refinement converged + was accepted
+    # this frame (0 when anchor_refine is inactive).
+    anchor_accepted: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParams:
@@ -129,6 +136,7 @@ def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         next_fid=jnp.zeros((), jnp.int32),
         tmpl=jnp.zeros((N, q, q), dtype),
         depth=jnp.zeros((N,), dtype),
+        anchor=jnp.zeros((N, q, q), dtype),
     )
 
 
@@ -388,11 +396,16 @@ def _allocate_new_features(
     depth = state.depth
     if cand_depth is not None:
         depth = depth.at[target].set(cand_depth.astype(depth.dtype), mode="drop")
+    anchor = state.anchor
+    if cand_tmpl is not None:
+        # The candidate's interpolated stereo template IS its birth-time
+        # appearance at its birth position — the anchor.
+        anchor = anchor.at[target].set(cand_tmpl.astype(anchor.dtype), mode="drop")
     n_added = jnp.sum(accept & (acc_rank < n_free)).astype(jnp.int32)
 
     return state._replace(
         pts0=pts0, pts1=pts1, fid=fid, lifetime=lifetime, response=response,
-        next_fid=state.next_fid + n_added, tmpl=tmpl, depth=depth,
+        next_fid=state.next_fid + n_added, tmpl=tmpl, depth=depth, anchor=anchor,
     )
 
 
@@ -514,6 +527,22 @@ def _frontend_step_impl(
     tracked = active & res.valid
     tracked = tracked & (tracked_pts0[:, 0] >= 0) & (tracked_pts0[:, 0] <= W - 1)
     tracked = tracked & (tracked_pts0[:, 1] >= 0) & (tracked_pts0[:, 1] <= H - 1)
+
+    # --- Anchor refinement (FrontendConfig.anchor_refine): re-align the
+    # track against its birth template so frame-to-frame sub-pixel bias
+    # cannot accumulate; accept small converged corrections only.
+    n_anchor = jnp.zeros((), jnp.int32)
+    if cfg.anchor_refine and _tmpl_carry_active(cfg):
+        res_a, _ = optical_flow_lk_corr_l0(
+            pyr0_curr[0], pyr0_curr[0], tracked_pts0, tracked_pts0, tracked,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+            tmpl_sp=state.anchor,
+        )
+        corr2 = jnp.sum((res_a.pts - tracked_pts0) ** 2, axis=1)
+        accept = tracked & res_a.valid & (corr2 <= cfg.anchor_radius**2)
+        tracked_pts0 = jnp.where(accept[:, None], res_a.pts, tracked_pts0)
+        n_anchor = jnp.sum(accept).astype(jnp.int32)
+
     after_tracking = jnp.sum(tracked)
 
     # --- Detect new-feature candidates away from the tracked features
@@ -580,6 +609,7 @@ def _frontend_step_impl(
         after_tracking=after_tracking,
         after_matching=after_matching,
         after_ransac=jnp.sum(valid),
+        anchor_accepted=n_anchor,
     )
     return state, out
 

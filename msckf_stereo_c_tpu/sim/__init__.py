@@ -4,6 +4,7 @@ from .trajectory import (
     SimTrajectory,
     make_circle_trajectory,
     make_landmarks,
+    make_room_landmarks,
     make_stress_trajectory,
     make_wall_landmarks,
     project_tracks,

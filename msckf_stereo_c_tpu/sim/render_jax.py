@@ -60,16 +60,17 @@ def make_stress_events(
     traj: SimTrajectory,
     frame_indices: np.ndarray,
     orbit_angle: Optional[np.ndarray] = None,
-    occ_orbit_radius: float = 6.0,
-    occ_max_radius: float = 1.2,
+    occ_orbit_radius: float = 5.5,
+    occ_max_radius: float = 0.8,
 ) -> StressEvents:
     """The standard stress schedule, windowed by normalized sequence time:
 
     * [0.22, 0.36] and [0.58, 0.72]: texture-poor (texture AC -> 0.15,
       blob amplitude -> 0.35) — the KLT loses its background anchors and
       FAST loses most candidates;
-    * [0.42, 0.56]: a 1.2 m occluder sphere parked in front of the wall at
-      the azimuth the camera sweeps mid-window — tracks die crossing it;
+    * [0.42, 0.56]: an occluder sphere (0.8 m, sized for the 7 m room —
+      a person-scale obstruction) parked in front of the wall at the
+      azimuth the camera sweeps mid-window — tracks die crossing it;
     * whole run: slow sinusoidal exposure drift (gain 1 +/- 0.25, offset
       +/- 12 intensity units) plus a linear darkening trend.
     """
@@ -178,7 +179,12 @@ class JaxRenderer:
         return out + tex_scale * ac
 
     def _raycast(self, R_c_w, o_w, rays, tex_scale):
-        d = rays.reshape(-1, 3) @ R_c_w.T
+        # HIGHEST precision: on TPU the default f32 matmul uses bf16 passes,
+        # which would warp the rendered geometry by ~px at the image edges —
+        # the harness must be exact regardless of platform defaults.
+        d = jnp.matmul(
+            rays.reshape(-1, 3), R_c_w.T, precision=jax.lax.Precision.HIGHEST
+        )
         o = o_w[None, :]
         a = d[:, 0] ** 2 + d[:, 1] ** 2
         b = 2.0 * (o[:, 0] * d[:, 0] + o[:, 1] * d[:, 1])
@@ -226,7 +232,7 @@ class JaxRenderer:
         img, d_w, t_bg = self._raycast(R_c_w, o_w, cam["rays"], ev["tex_scale"])
 
         # Landmark blobs.
-        p_c = p_imu @ R_ci.T + t_ci
+        p_c = jnp.matmul(p_imu, R_ci.T, precision=jax.lax.Precision.HIGHEST) + t_ci
         vis = p_c[:, 2] > self.min_depth
         uv = self._project(jnp.where(vis[:, None], p_c, 1.0), cam["intr"], cam["dist"])
         r = self.blob_radius
@@ -278,7 +284,9 @@ class JaxRenderer:
 
     def render_frame(self, R_wb, p_b, ev):
         """(3,3), (3,), per-frame event dict -> (img0, img1)."""
-        p_imu = (self.landmarks - p_b) @ R_wb.T
+        p_imu = jnp.matmul(
+            self.landmarks - p_b, R_wb.T, precision=jax.lax.Precision.HIGHEST
+        )
         img0 = self._render_one_cam(self.cams[0], R_wb, p_b, p_imu, ev)
         img1 = self._render_one_cam(self.cams[1], R_wb, p_b, p_imu, ev)
         return img0, img1

@@ -7,7 +7,13 @@ stand-in end-to-end:
 
 * `make_stress_trajectory` — >=120 s aggressive 6-dof motion with
   near-stall (low-parallax) stretches (sim/trajectory.py),
-* `make_stress_events`  — texture-poor windows, a world-space occluder
+* `make_room_landmarks` + the renderer's room (7 m cylinder + floor/
+  ceiling at +/-3.5 m) — Vicon-room-scale geometry like the real V1_01
+  (depths ~2.6-11 m; the earlier 12 m wall-only scene was a 24 m-wide,
+  16 m-tall hall whose uniformly-far, wall-only features left vertical
+  position an order of magnitude less observable than on the real
+  dataset — docs/STRESS_NOTES.md round 3),
+* `make_stress_events`  — texture-poor windows, a person-scale occluder
   sweep, and continuous exposure drift (sim/render_jax.py),
 * the device renderer -> full VIO pipeline (frontend kernels + MSCKF),
   chunked so arbitrarily long sequences stream through fixed memory.
@@ -28,7 +34,7 @@ from ..config import EUROC_CALIB, FilterConfig, FrontendConfig, StereoCalib
 from ..io import evaluate_ate
 from ..models.vio import VioResult, run_vio_sequence
 from .render_jax import JaxRenderer, StressEvents, make_stress_events
-from .trajectory import make_stress_trajectory, make_wall_landmarks, synthesize_imu
+from .trajectory import make_room_landmarks, make_stress_trajectory, synthesize_imu
 
 
 @dataclasses.dataclass
@@ -47,8 +53,9 @@ class StressGateResult:
 def run_stress_gate(
     duration: float = 130.0,
     frame_stride: int = 10,
-    r_wall: float = 12.0,
-    num_landmarks: int = 700,
+    r_wall: float = 7.0,
+    z_cap: float = 3.5,
+    num_landmarks: int = 900,
     chunk: int = 64,
     fcfg: Optional[FrontendConfig] = None,
     mcfg: Optional[FilterConfig] = None,
@@ -62,6 +69,8 @@ def run_stress_gate(
     traj_kwargs: Optional[dict] = None,
     generator: str = "stress",
     lm_seed: Optional[int] = None,
+    imu_gyro_noise: float = 5e-4,
+    imu_acc_noise: float = 5e-3,
 ) -> StressGateResult:
     """Render + run the stress scene in fixed-memory chunks.
 
@@ -76,11 +85,11 @@ def run_stress_gate(
         traj = make_circle_trajectory(duration=duration, **(traj_kwargs or {}))
     else:
         traj = make_stress_trajectory(duration=duration, **(traj_kwargs or {}))
-    landmarks = make_wall_landmarks(
-        num=num_landmarks, radius=r_wall, z_min=-4.5, z_max=4.5,
+    landmarks = make_room_landmarks(
+        num=num_landmarks, radius=r_wall, z_cap=z_cap,
         seed=1 if lm_seed is None else lm_seed,
     )
-    imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=seed)
+    imu = synthesize_imu(traj, gyro_noise=imu_gyro_noise, acc_noise=imu_acc_noise, seed=seed)
     frame_idx = np.arange(0, traj.t.shape[0], frame_stride)
     frame_t = traj.t[frame_idx]
     T = len(frame_idx)
@@ -91,7 +100,7 @@ def run_stress_gate(
         ev = make_stress_events(traj, frame_idx)
     else:
         ev = StressEvents.nominal(T)
-    renderer = JaxRenderer(landmarks, calib, r_wall=r_wall, z_cap=8.0)
+    renderer = JaxRenderer(landmarks, calib, r_wall=r_wall, z_cap=z_cap)
 
     fcfg = fcfg or FrontendConfig()
     mcfg = mcfg or FilterConfig(ns_iters=10 if method == "schur" else 0)

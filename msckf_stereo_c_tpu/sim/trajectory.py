@@ -319,6 +319,34 @@ def make_wall_landmarks(
     return np.stack([radius * np.cos(a), radius * np.sin(a), z], axis=1)
 
 
+def make_room_landmarks(
+    num: int = 700,
+    radius: float = 7.0,
+    z_cap: float = 3.5,
+    wall_frac: float = 0.6,
+    seed: int = 1,
+) -> np.ndarray:
+    """Landmarks on ALL surfaces of the render room (cylindrical wall +
+    floor + ceiling disks, matching JaxRenderer(r_wall=radius, z_cap=z_cap))
+    — the V1_01-realistic variant: the real Vicon room is a few meters
+    across with feature-rich floor/ceiling, and the floor/ceiling points are
+    what anchors vertical (z) observability.  The wall-only scene at 12 m
+    measured a z-dominated drift precisely because every feature shared the
+    same weak vertical geometry (docs/STRESS_NOTES.md round 3)."""
+    rng = np.random.default_rng(seed)
+    n_wall = int(num * wall_frac)
+    n_cap = num - n_wall
+    a = rng.uniform(0.0, 2.0 * np.pi, n_wall)
+    z = rng.uniform(-z_cap, z_cap, n_wall)
+    wall = np.stack([radius * np.cos(a), radius * np.sin(a), z], axis=1)
+    # Caps: uniform over the disk, split between floor and ceiling.
+    a2 = rng.uniform(0.0, 2.0 * np.pi, n_cap)
+    r2 = radius * np.sqrt(rng.uniform(0.0, 1.0, n_cap))
+    zc = np.where(rng.uniform(size=n_cap) < 0.5, -z_cap, z_cap)
+    caps = np.stack([r2 * np.cos(a2), r2 * np.sin(a2), zc], axis=1)
+    return np.concatenate([wall, caps], axis=0)
+
+
 @dataclasses.dataclass
 class SimFeatures:
     """Frontend-like output: per frame, fixed F feature slots."""

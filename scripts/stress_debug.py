@@ -46,10 +46,27 @@ def main():
         stereo_levels=int(os.environ.get("STRESS_SLEVELS", FrontendConfig.stereo_levels)),
     )
     traj_kwargs = json.loads(os.environ.get("STRESS_TRAJ_KWARGS", "{}"))
+    if os.environ.get("STRESS_EXACT_GRAVITY", "0") == "1":
+        # Ablation: pin the filter's gravity vector to the sim's exact
+        # value instead of estimating |g| from the noisy static window
+        # (isolates gravity-magnitude error from vision drift).
+        import msckf_stereo_c_tpu.models.vio as _vio
+        from msckf_stereo_c_tpu.sim.trajectory import GRAVITY as _G
+
+        _orig = _vio.apply_gravity_init
+
+        def _exact(state, gyro, acc):
+            s = _orig(state, gyro, acc)
+            return s._replace(gravity=jnp.asarray([0.0, 0.0, -_G], s.gravity.dtype))
+
+        _vio.apply_gravity_init = _exact
     out = run_stress_gate(
         duration=duration,
+        imu_gyro_noise=float(os.environ.get("STRESS_GYRO_NOISE", "5e-4")),
+        imu_acc_noise=float(os.environ.get("STRESS_ACC_NOISE", "5e-3")),
         chunk=128,
-        r_wall=float(os.environ.get("STRESS_WALL", "12")),
+        r_wall=float(os.environ.get("STRESS_WALL", "7")),
+        z_cap=float(os.environ.get("STRESS_ZCAP", "3.5")),
         fcfg=fcfg,
         mcfg=mcfg,
         filter_dtype=jnp.float64 if f64 else jnp.float32,
@@ -60,7 +77,7 @@ def main():
     )
     print(
         f"variant={variant} method={method} dtype={'f64' if f64 else 'f32'} "
-        f"duration={duration} wall={os.environ.get('STRESS_WALL', '12')} "
+        f"duration={duration} wall={os.environ.get('STRESS_WALL', '7')} "
         f"klt={fcfg.klt_impl}/tmpl{int(fcfg.tmpl_carry)}/tl{fcfg.temporal_levels}/sl{fcfg.stereo_levels} "
         f"kwargs={traj_kwargs} ATE rmse={out.ate_rmse:.4f} mean={out.ate_mean:.4f} "
         f"max={out.ate_max:.4f} min_tracks={out.min_tracks_after_ransac}"

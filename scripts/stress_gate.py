@@ -47,7 +47,9 @@ def main():
         ns_iters=int(os.environ.get("STRESS_NS_ITERS", "10")),
         matmul_precision=os.environ.get("STRESS_FILTER_PRECISION", "tensorfloat32"),
     )
-    fcfg = FrontendConfig()
+    fcfg = FrontendConfig(
+        matmul_precision=os.environ.get("STRESS_FRONTEND_PRECISION", FrontendConfig.matmul_precision),
+    )
 
     gate = 0.13
     t0 = time.time()

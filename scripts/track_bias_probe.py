@@ -38,15 +38,21 @@ def main():
         tmpl_carry=os.environ.get("PROBE_TMPL", "1") == "1",
         temporal_levels=int(os.environ.get("PROBE_TLEVELS", FrontendConfig.temporal_levels)),
         stereo_levels=int(os.environ.get("PROBE_SLEVELS", FrontendConfig.stereo_levels)),
+        anchor_refine=os.environ.get("PROBE_ANCHOR", "1") == "1",
     )
     calib = EUROC_CALIB
 
-    traj = make_circle_trajectory(
-        duration=dur,
-        z_amp=float(os.environ.get("PROBE_ZAMP", "0.5")),
-        roll_amp=float(os.environ.get("PROBE_ROLLAMP", "0.1")),
-        omega=float(os.environ.get("PROBE_OMEGA", str(2.0 * 3.14159265 / 20.0))),
-    )
+    if os.environ.get("PROBE_GENERATOR", "circle") == "stress":
+        from msckf_stereo_c_tpu.sim.trajectory import make_stress_trajectory
+
+        traj = make_stress_trajectory(duration=dur)
+    else:
+        traj = make_circle_trajectory(
+            duration=dur,
+            z_amp=float(os.environ.get("PROBE_ZAMP", "0.5")),
+            roll_amp=float(os.environ.get("PROBE_ROLLAMP", "0.1")),
+            omega=float(os.environ.get("PROBE_OMEGA", str(2.0 * 3.14159265 / 20.0))),
+        )
     lms = make_wall_landmarks(num=700, radius=r_wall, z_min=-4.5, z_max=4.5, seed=1)
     imu = synthesize_imu(traj, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
     idx = np.arange(0, traj.t.shape[0], 10)
@@ -58,25 +64,37 @@ def main():
     batches = pack_imu_batches(imu.t, imu.gyro, imu.acc, frame_t, 16, np.float32)
 
     @jax.jit
-    def chunk_scan(tracker, pyr_prev, prev_t, i0s, i1s, ts, gyros):
+    def chunk_scan(tracker, pyr_prev, prev_t, i0s, i1s, ts, gyros, vels):
         def step(carry, xs):
             tracker, pyr_prev, prev_t = carry
-            i0, i1, t, g = xs
+            i0, i1, t, g, cv = xs
             pyr0 = pyramids_for(i0, fcfg)
             pyr1 = pyramids_for(i1, fcfg)
             is_first = prev_t < 0
             dt = jnp.where(is_first, 0.0, t - prev_t).astype(jnp.float32)
             tracker, out = frontend_step(
-                tracker, pyr_prev, pyr0, pyr1, g, dt, is_first, fparams, fcfg
+                tracker, pyr_prev, pyr0, pyr1, g, dt, is_first, fparams, fcfg,
+                cam_vel=cv if use_vel else None,
             )
             return (tracker, pyr0, t), (out.fid, out.uv, out.valid)
 
-        return jax.lax.scan(step, (tracker, pyr_prev, prev_t), (i0s, i1s, ts, gyros))
+        return jax.lax.scan(step, (tracker, pyr_prev, prev_t), (i0s, i1s, ts, gyros, vels))
 
     mean_gyro = np.where(
         np.asarray(batches.valid)[:, :, None],
         np.asarray(batches.gyro), 0.0
     ).sum(1) / np.maximum(np.asarray(batches.valid).sum(1), 1)[:, None]
+
+    # PROBE_VEL=1 (default): feed the frontend the GROUND-TRUTH camera
+    # velocity per frame — the probe then measures the tracker in the same
+    # translation-seeded configuration the VIO driver runs it in
+    # (models/vio.py passes the filter's velocity estimate).
+    use_vel = os.environ.get("PROBE_VEL", "1") == "1"
+    R_ci_np = calib.cam0.T_cam_imu_mat()[:3, :3]
+    prev_i = np.maximum(idx - 10, 0)
+    cam_vels = np.einsum(
+        "ij,tjk,tk->ti", R_ci_np, traj.R_w_b[prev_i], traj.v[prev_i]
+    ).astype(np.float32)  # velocity at the PREVIOUS frame, like the driver
 
     H, W = calib.cam0.resolution[1], calib.cam0.resolution[0]
     dummy = jnp.zeros((H, W), jnp.float32)
@@ -84,15 +102,18 @@ def main():
              jnp.asarray(-1.0, jnp.float32))
     fids, uvs, valids = [], [], []
     C = 64
+    tex_scale = float(os.environ.get("PROBE_TEX", "1"))
     for s0 in range(0, T, C):
         s1 = min(s0 + C, T)
         ev = StressEvents.nominal(s1 - s0)
+        ev.tex_scale[:] = tex_scale
         img0, img1 = renderer.render_sequence(traj, idx[s0:s1], ev, chunk=C)
         carry, (f, u, v) = chunk_scan(
             carry[0], carry[1], carry[2],
             jnp.asarray(img0), jnp.asarray(img1),
             jnp.asarray(frame_t[s0:s1], jnp.float32),
             jnp.asarray(mean_gyro[s0:s1], jnp.float32),
+            jnp.asarray(cam_vels[s0:s1]),
         )
         fids.append(np.asarray(f)); uvs.append(np.asarray(u)); valids.append(np.asarray(v))
     fid = np.concatenate(fids); uv = np.concatenate(uvs); valid = np.concatenate(valids)
@@ -137,7 +158,9 @@ def main():
             dv0 = (obs[1] - n0[t, j, 1]) * fx
             gt_disp = (n0[t, j, 0] - n1[t, j, 0]) * fx
             tr_disp = (obs[0] - obs[2]) * fx
-            res.setdefault(f, []).append((t, du0, dv0, tr_disp - gt_disp, t - first_seen[f]))
+            res.setdefault(f, []).append(
+                (t, du0, dv0, tr_disp - gt_disp, t - first_seen[f], n0[t, j, 1])
+            )
 
     allr = np.array([r for v in res.values() for r in v])
     print(f"tracks associated: {len(res)} / {len(first_seen)}; obs: {len(allr)}")
@@ -173,6 +196,29 @@ def main():
         if m.sum():
             print(f"{a0:3d}-{a1:<3d} {m.sum():5d} {allr[m,1].mean():+.4f} "
                   f"{allr[m,2].mean():+.4f} {allr[m,3].mean():+.4f}")
+    # Bias vs IMAGE ROW (normalized v of the gt projection): distinguishes
+    # position-dependent systematics (distortion, caps) from track-age ones.
+    print("  v_n       n      du0      dv0    mean_age")
+    vq = np.quantile(allr[:, 5], np.linspace(0, 1, 9))
+    for lo, hi in zip(vq[:-1], vq[1:]):
+        m = (allr[:, 5] >= lo) & (allr[:, 5] < hi)
+        if m.sum():
+            print(f"{lo:+.3f}..{hi:+.3f} {m.sum():6d} {allr[m,1].mean():+.4f} "
+                  f"{allr[m,2].mean():+.4f} {allr[m,4].mean():6.1f}")
+    # Joint (age x row) table: separates per-track temporal drift from a
+    # static position-dependent bias (age and row are confounded when old
+    # tracks pool at one side of the image).
+    print("dv0 by age x v_n  (rows: age bins; cols: v_n bins)")
+    age_bins = [(0, 2), (2, 6), (6, 15), (15, 60)]
+    v_bins = [(-1.0, -0.3), (-0.3, 0.0), (0.0, 0.3), (0.3, 1.0)]
+    hdr = "  age   " + " ".join(f"v{lo:+.1f}..{hi:+.1f}" for lo, hi in v_bins)
+    print(hdr)
+    for a0, a1 in age_bins:
+        cells = []
+        for lo, hi in v_bins:
+            m = (allr[:, 4] >= a0) & (allr[:, 4] < a1) & (allr[:, 5] >= lo) & (allr[:, 5] < hi)
+            cells.append(f"{allr[m,2].mean():+.3f}({m.sum():4d})" if m.sum() > 30 else "    --    ")
+        print(f"{a0:3d}-{a1:<3d} " + " ".join(cells))
     # Bias vs sequence time (scale-drift signature).
     print(" t[s]   n      du0     ddisp")
     B = max(1, T // 12)

@@ -3,7 +3,10 @@ reference onlineReset msckf_vio.cpp:1186-1236) and the manual reset
 (reset_filter, reference resetCallback msckf_vio.cpp:243-304).
 
 Round-1 gap: both paths existed as lax.cond branches / helpers but no test
-ever executed them."""
+ever executed them.
+
+PROCESS ISOLATION: see tests/_isolation.py — the real tests run in a fresh
+subprocess; in the parent suite they skip."""
 import dataclasses
 
 import jax
@@ -11,25 +14,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from _isolation import isolate_module
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_compilation_cache():
-    """XLA's executable (de)serialization abort()s the whole process on this
-    module's long-scan programs (observed four times, in both the cache get
-    and put paths — a jaxlib bug, unreachable from Python).  Keep these
-    programs out of the persistent cache; everything else still caches.
-    NB flipping jax_enable_compilation_cache after backend init is a no-op
-    (_get_cache ignores it once _cache exists), so bypass at the module
-    seam compiler.py actually calls."""
-    from jax._src import compilation_cache as cc
-
-    orig_put = cc.put_executable_and_time
-    orig_get = cc.get_executable_and_time
-    cc.put_executable_and_time = lambda *a, **k: None
-    cc.get_executable_and_time = lambda *a, **k: (None, None)
-    yield
-    cc.put_executable_and_time = orig_put
-    cc.get_executable_and_time = orig_get
+_IN_CHILD, _child_only, test_recovery_module_in_subprocess = isolate_module(
+    __file__, "MSCKF_RECOVERY_CHILD"
+)
 
 from msckf_stereo_c_tpu.config import EUROC_CALIB, FilterConfig
 from msckf_stereo_c_tpu.io import evaluate_ate
@@ -74,6 +63,7 @@ def _dirty_state(cfg=CFG, dtype=jnp.float64):
     )
 
 
+@_child_only
 def test_online_reset_unit():
     """The watchdog branch itself: fires iff a position std exceeds the
     threshold (and the threshold is enabled)."""
@@ -105,6 +95,7 @@ def test_online_reset_unit():
     assert int(off.online_reset_count) == 0
 
 
+@_child_only
 def test_online_reset_fires_and_recovers_end_to_end():
     """Feature blackout drives position covariance past the threshold; the
     watchdog must fire inside the scanned filter program and the filter must
@@ -124,9 +115,10 @@ def test_online_reset_fires_and_recovers_end_to_end():
     valid[60:110] = False
 
     cfg = dataclasses.replace(CFG, position_std_threshold=0.6)
+    # chunk=50: one compiled 50-frame chunk program reused 4x.
     res = run_sequence(
         cfg, EUROC_CALIB, feats.t, feats.fid, feats.uv, valid,
-        imu.t, imu.gyro, imu.acc, method="cholesky",
+        imu.t, imu.gyro, imu.acc, method="cholesky", chunk=50,
     )
     assert int(res.final_state.online_reset_count) >= 1
     assert np.isfinite(res.positions).all()
@@ -145,11 +137,12 @@ def test_online_reset_fires_and_recovers_end_to_end():
     # Control: same world without blackout never resets.
     res0 = run_sequence(
         cfg, EUROC_CALIB, feats.t, feats.fid, feats.uv, feats.valid,
-        imu.t, imu.gyro, imu.acc, method="cholesky",
+        imu.t, imu.gyro, imu.acc, method="cholesky", chunk=50,
     )
     assert int(res0.final_state.online_reset_count) == 0
 
 
+@_child_only
 def test_reset_filter_manual():
     """reset_filter rebuilds the init state (keeping gravity) and the filter
     runs cleanly afterwards."""

@@ -10,13 +10,21 @@ occluder sweep, and the exposure drift.
 
 The gate run executes ONCE (module fixture); the tracking-survival and
 ATE assertions are separate tests so a tracking collapse can never hide
-inside an accuracy xfail (ADVICE round 2)."""
+inside an accuracy xfail (ADVICE round 2).  The module is subprocess-
+isolated (tests/_isolation.py): its full-pipeline chunk scan is the
+largest compile in the suite."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from _isolation import isolate_module
+
 from msckf_stereo_c_tpu.config import FilterConfig
 from msckf_stereo_c_tpu.sim.stress import run_stress_gate
+
+_IN_CHILD, _child_only, test_stress_gate_module_in_subprocess = isolate_module(
+    __file__, "MSCKF_STRESS_CHILD"
+)
 
 
 @pytest.fixture(scope="module")
@@ -30,12 +38,14 @@ def gate_out():
     )
 
 
+@_child_only
 def test_stress_tracking_survives(gate_out):
     """Tracking survives the texture-poor windows and the occluder sweep
     (the filter never free-coasts on IMU alone)."""
     assert gate_out.min_tracks_after_ransac > 8, gate_out.min_tracks_after_ransac
 
 
+@_child_only
 def test_stress_gate_ate(gate_out):
     """The end-to-end gate (BASELINE.json: <= 0.13 m on V1_01-like motion).
 
@@ -46,6 +56,7 @@ def test_stress_gate_ate(gate_out):
     assert gate_out.ate_rmse < 0.13, f"stress ATE {gate_out.ate_rmse:.4f} m"
 
 
+@_child_only
 def test_stress_events_actually_fire():
     """The short run must not silently skip the stress channels: re-derive
     the schedule and check each channel is active for a real fraction."""

@@ -11,6 +11,8 @@ asserts the velocity-seeded tracker holds where rotation-only collapses.
 """
 import dataclasses
 
+from _isolation import isolate_module
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -25,6 +27,11 @@ from msckf_stereo_c_tpu.sim.trajectory import (
     _compose_rotations,
     make_wall_landmarks,
     synthesize_imu,
+)
+
+
+_IN_CHILD, _child_only, test_translation_seed_module_in_subprocess = isolate_module(
+    __file__, "MSCKF_TRSEED_CHILD"
 )
 
 
@@ -77,12 +84,14 @@ def _run(lateral_scene, translation_seed: bool):
     return float(ate.rmse), tracks
 
 
+@_child_only
 def test_translation_seed_survives_fast_lateral_motion(lateral_scene):
     ate_on, tracks_on = _run(lateral_scene, True)
     assert ate_on < 0.06, f"seeded lateral ATE {ate_on:.4f} m"
     assert tracks_on > 25, tracks_on
 
 
+@_child_only
 def test_rotation_only_prediction_collapses_without_seed(lateral_scene):
     """Documents WHY the seed exists: the same scene with the reference's
     rotation-only warp loses most temporal tracks and degrades badly."""
