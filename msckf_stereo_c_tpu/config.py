@@ -167,10 +167,12 @@ class FrontendConfig:
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob
-    # (FilterConfig.matmul_precision) — this one exists because the TPU
-    # fast-motion stress showed a front-end-precision accuracy gap vs CPU
-    # (docs/BENCH_NOTES.md).
-    matmul_precision: str = "default"
+    # (FilterConfig.matmul_precision).  Default tensorfloat32: on the 130 s
+    # TPU stress gate the 1-pass default scores 0.0765 m vs 0.0360 m at
+    # tensorfloat32 (CPU: 0.0434) — 3-pass closes the hardware-path
+    # accuracy gap entirely (docs/STRESS_NOTES.md round 3, docs/
+    # BENCH_NOTES.md fast-motion measurement).
+    matmul_precision: str = "tensorfloat32"
 
     def __post_init__(self):
         _check_matmul_precision(self.matmul_precision)
