@@ -39,6 +39,17 @@ def main():
     fcfg = FrontendConfig(
         temporal_levels=int(os.environ.get("BENCH_TEMPORAL_LEVELS", "1")),
         klt_impl=os.environ.get("BENCH_KLT", FrontendConfig.klt_impl),
+        # Hardware-accuracy default is tensorfloat32 (see FrontendConfig);
+        # BENCH_FRONTEND_PRECISION=default restores the 1-pass bf16 fast path
+        # for throughput-only measurements.
+        matmul_precision=os.environ.get(
+            "BENCH_FRONTEND_PRECISION", FrontendConfig.matmul_precision
+        ),
+        anchor_refine=os.environ.get("BENCH_ANCHOR_REFINE", "1") != "0",
+        translation_seed=os.environ.get("BENCH_TRANSLATION_SEED", "1") != "0",
+        stereo_lr_threshold=float(
+            os.environ.get("BENCH_STEREO_LR", FrontendConfig.stereo_lr_threshold)
+        ),
     )
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the
     # column-sequential Cholesky lowerings) are the hardware default;

@@ -137,6 +137,17 @@ class FrontendConfig:
     # its wrong locks do not persist); this is the TPU build's counterpart
     # safeguard for its cheaper carried-disparity design.
     stereo_lr_threshold: float = 1.0
+    # Scope of the LR check.  True (default): the full survivor+candidate
+    # union, every frame.  False narrows the backward KLT to candidate
+    # lanes only (~1/3 of the union, bench 1157 vs 1076 fps) on the theory
+    # that wrong locks are only BORN at candidate matching — MEASURED
+    # FALSE at long horizon: the 130 s TPU stress gate degrades 0.036 ->
+    # 0.257 m (bar 0.13) without the survivor round trip, i.e. survivors'
+    # carried disparity DOES get corrupted mid-life under the occluder
+    # sweep / texture-dropout windows, and the per-frame survivor LR check
+    # is what catches it (docs/BENCH_NOTES.md round-3 ablation).  The
+    # knob remains for benign-scene throughput runs only.
+    stereo_lr_survivors: bool = True
     # Translation-aware temporal prediction: back-project each track by its
     # last stereo depth, displace by the filter's velocity estimate over the
     # frame interval, reproject through the full lens model (and pre-scale

@@ -329,12 +329,18 @@ def _stereo_match_merged(
     # along the epipolar line tracks back to ITS OWN cam0 image, ~a blob
     # spacing away from pts0.
     if cfg.stereo_lr_threshold > 0:
+        # Candidate lanes only by default (config.stereo_lr_survivors): the
+        # wrong locks this check kills are all born at candidate matching;
+        # survivors were LR-validated at birth.  Static slice — n_surv is a
+        # Python int.
+        lo = 0 if cfg.stereo_lr_survivors else n_surv
         res_b = klt(
-            pyr1[:1], pyr0[:1], pts1, pts0, ok,
+            pyr1[:1], pyr0[:1], pts1[lo:], pts0[lo:], ok[lo:],
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
         )
-        rt2 = jnp.sum((res_b.pts - pts0) ** 2, axis=1)
-        ok = ok & res_b.valid & (rt2 <= cfg.stereo_lr_threshold**2)
+        rt2 = jnp.sum((res_b.pts - pts0[lo:]) ** 2, axis=1)
+        ok_lr = ok[lo:] & res_b.valid & (rt2 <= cfg.stereo_lr_threshold**2)
+        ok = jnp.concatenate([ok[:lo], ok_lr], axis=0)
 
     tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
     return (

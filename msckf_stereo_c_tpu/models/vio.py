@@ -220,6 +220,10 @@ def run_vio_sequence(
     ``internals_at=N`` additionally captures the frame-N update-phase
     tensors (vio_step_internals) in ``result.internals`` — the analog of
     the reference's frame-9 Jacobian dump (msckf_vio.cpp:719-723).
+    Cost note: a mid-chunk ``internals_at`` forces a chunk boundary there,
+    splitting one chunk into two odd-length chunks — on TPU that is two
+    extra (multi-minute, remote-helper) ``_vio_chunk`` compilations.  Pick
+    N on an existing ``chunk`` multiple when compile time matters.
 
     When resuming with ``state`` from an earlier call, pass
     ``prev_frame_t`` = the last already-processed frame's timestamp so the
