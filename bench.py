@@ -20,6 +20,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _env_bool(name: str, default: bool) -> bool:
+    """Strict boolean env knob: only "0"/"1" (or unset) are accepted, and
+    the default tracks the config-dataclass default instead of a hard-coded
+    literal (ADVICE round 3: "false" silently parsed as True, and defaults
+    drifted from FrontendConfig)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if raw not in ("0", "1"):
+        raise SystemExit(f"{name} must be 0 or 1, got {raw!r}")
+    return raw == "1"
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -45,10 +58,17 @@ def main():
         matmul_precision=os.environ.get(
             "BENCH_FRONTEND_PRECISION", FrontendConfig.matmul_precision
         ),
-        anchor_refine=os.environ.get("BENCH_ANCHOR_REFINE", "1") != "0",
-        translation_seed=os.environ.get("BENCH_TRANSLATION_SEED", "1") != "0",
+        anchor_refine=_env_bool("BENCH_ANCHOR_REFINE", FrontendConfig.anchor_refine),
+        translation_seed=_env_bool(
+            "BENCH_TRANSLATION_SEED", FrontendConfig.translation_seed
+        ),
         stereo_lr_threshold=float(
             os.environ.get("BENCH_STEREO_LR", FrontendConfig.stereo_lr_threshold)
+        ),
+        # Scope of the LR round trip (docs/BENCH_NOTES.md round-3 ablation;
+        # False = candidates-only, a benign-scene throughput measurement).
+        stereo_lr_survivors=_env_bool(
+            "BENCH_STEREO_LR_SURVIVORS", FrontendConfig.stereo_lr_survivors
         ),
     )
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the

@@ -408,6 +408,14 @@ def load_frontend_config(path: str) -> FrontendConfig:
         tmpl_carry=bool(node.get("tmpl_carry", base.tmpl_carry)),
         cand_budget=int(node.get("cand_budget", base.cand_budget)),
         ransac_enabled=bool(node.get("ransac_enabled", base.ransac_enabled)),
+        stereo_lr_threshold=float(
+            node.get("stereo_lr_threshold", base.stereo_lr_threshold)
+        ),
+        stereo_lr_survivors=bool(
+            node.get("stereo_lr_survivors", base.stereo_lr_survivors)
+        ),
+        anchor_refine=bool(node.get("anchor_refine", base.anchor_refine)),
+        translation_seed=bool(node.get("translation_seed", base.translation_seed)),
     )
 
 

@@ -24,7 +24,12 @@ from ..config import FrontendConfig, StereoCalib, matmul_precision_scope
 from ..ops.camera import distort_points, undistort_points
 from ..ops.fast import detect_grid_corners, occupancy_from_points
 from ..ops.klt import optical_flow_pyr_lk
-from ..ops.klt_corr import optical_flow_lk_corr_l0, optical_flow_pyr_lk_corr
+from ..ops.klt_corr import (
+    fused_stereo_supported,
+    optical_flow_lk_corr_l0,
+    optical_flow_pyr_lk_corr,
+    stereo_anchor_lr_fused,
+)
 from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
 
 from ..ops.pyramid import build_pyramid
@@ -97,8 +102,10 @@ class FrameOutput(NamedTuple):
     after_matching: jnp.ndarray
     after_ransac: jnp.ndarray
     # Diagnostics: tracks whose anchor refinement converged + was accepted
-    # this frame (0 when anchor_refine is inactive).
-    anchor_accepted: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # this frame (0 when anchor_refine is inactive).  No array default: a
+    # NamedTuple default would be materialized as a device constant at
+    # import time, before any jax.config the caller might set.
+    anchor_accepted: jnp.ndarray
 
 
 def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParams:
@@ -149,6 +156,21 @@ def _tmpl_carry_active(cfg: FrontendConfig) -> bool:
         and cfg.klt_impl == "corr"
         and cfg.temporal_levels == 1
         and cfg.stereo_levels == 1
+    )
+
+
+def _fused_stereo_active(cfg: FrontendConfig, img_shape) -> bool:
+    """The fused stereo+LR+anchor fine level (ops.klt_corr.
+    stereo_anchor_lr_fused) replaces the unfused three-call composition when
+    the configuration matches its geometry: corr implementation, single
+    fine level, full-union left-right check, image large enough for the
+    margined search windows."""
+    return (
+        cfg.klt_impl == "corr"
+        and cfg.stereo_levels == 1
+        and cfg.stereo_lr_threshold > 0
+        and cfg.stereo_lr_survivors
+        and fused_stereo_supported(img_shape, cfg.patch_size)
     )
 
 
@@ -230,6 +252,7 @@ def _stereo_match_merged(
     params: FrontendParams,
     cfg: FrontendConfig,
     img_shape: Tuple[int, int],
+    anchor_sp: jnp.ndarray | None = None,
 ):
     """Stereo match surviving tracks AND detection candidates in one pass.
 
@@ -242,7 +265,17 @@ def _stereo_match_merged(
     concatenated KLT call (per-level cost is per-feature-lane — see
     docs/BENCH_NOTES.md) with one epipolar gate over the union.  Candidate
     numerics are identical level-by-level to a full-pyramid walk; validity
-    is only ever taken from the final full-resolution level."""
+    is only ever taken from the final full-resolution level.
+
+    With the default configuration (_fused_stereo_active) the fine level
+    runs as ops.klt_corr.stereo_anchor_lr_fused — one call covering anchor
+    refinement (``anchor_sp`` = birth templates for the survivor lanes),
+    the forward match, and the backward left-right round trip, sharing
+    patch extractions (op-count recovery of the round-3 accuracy machinery,
+    docs/BENCH_NOTES.md round 4).  Returns
+    ((pts0_surv, pts1_surv, ok_surv, depth_surv),
+     (cand_pts1, cand_ok, cand_depth), (surv_tmpl, cand_tmpl), n_anchor)
+    where pts0_surv are the (possibly anchor-refined) cam0 positions."""
     H, W = img_shape
     klt = _klt_fn(cfg.klt_impl)
 
@@ -276,7 +309,21 @@ def _stereo_match_merged(
     guess = jnp.concatenate([surv_guess, cguess], axis=0)
     valid = jnp.concatenate([surv_valid, cand_valid], axis=0)
     sp_all = None
-    if _tmpl_carry_active(cfg):
+    rt2 = None
+    n_anchor = jnp.zeros((), jnp.int32)
+    if _fused_stereo_active(cfg, img_shape):
+        pts0, acc, res, rt2, sp_all = stereo_anchor_lr_fused(
+            pyr0[0], pyr1[0], pts0, guess, valid,
+            win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
+            anchor_sp=anchor_sp,
+            anchor_valid=surv_valid if anchor_sp is not None else None,
+            anchor_radius=cfg.anchor_radius,
+        )
+        if acc is not None:
+            n_anchor = jnp.sum(acc).astype(jnp.int32)
+        if not _tmpl_carry_active(cfg):
+            sp_all = None  # nothing maintains the carried templates
+    elif _tmpl_carry_active(cfg):
         res, sp_all = optical_flow_lk_corr_l0(
             pyr0[0], pyr1[0], pts0, guess, valid,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
@@ -328,25 +375,36 @@ def _stereo_match_merged(
     # the round trip to land on the original cam0 position.  A wrong lock
     # along the epipolar line tracks back to ITS OWN cam0 image, ~a blob
     # spacing away from pts0.
-    if cfg.stereo_lr_threshold > 0:
-        # Candidate lanes only by default (config.stereo_lr_survivors): the
-        # wrong locks this check kills are all born at candidate matching;
-        # survivors were LR-validated at birth.  Static slice — n_surv is a
-        # Python int.
+    if rt2 is not None:
+        # Fused path: the round trip already ran inside
+        # stereo_anchor_lr_fused (rt2 = +inf where the backward track is
+        # invalid); fold its gate over the full union.
+        ok = ok & (rt2 <= cfg.stereo_lr_threshold**2)
+    elif cfg.stereo_lr_threshold > 0:
+        # Unfused backward pass.  The DEFAULT scope is the full
+        # survivor+candidate union (config.py stereo_lr_survivors=True):
+        # survivors' carried disparity gets corrupted mid-life under
+        # occlusion/texture-dropout, and the per-frame survivor round trip
+        # is what catches it (130 s stress gate 0.036 -> 0.257 m without
+        # it, docs/BENCH_NOTES.md round-3 ablation).  stereo_lr_survivors=
+        # False narrows the check to candidate lanes — a throughput-only
+        # knob for benign scenes, measured UNSAFE at long horizon.  Static
+        # slice — n_surv is a Python int.
         lo = 0 if cfg.stereo_lr_survivors else n_surv
         res_b = klt(
             pyr1[:1], pyr0[:1], pts1[lo:], pts0[lo:], ok[lo:],
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
         )
-        rt2 = jnp.sum((res_b.pts - pts0[lo:]) ** 2, axis=1)
-        ok_lr = ok[lo:] & res_b.valid & (rt2 <= cfg.stereo_lr_threshold**2)
+        rt2_u = jnp.sum((res_b.pts - pts0[lo:]) ** 2, axis=1)
+        ok_lr = ok[lo:] & res_b.valid & (rt2_u <= cfg.stereo_lr_threshold**2)
         ok = jnp.concatenate([ok[:lo], ok_lr], axis=0)
 
     tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
     return (
-        (pts1[:n_surv], ok[:n_surv], depth[:n_surv]),
+        (pts0[:n_surv], pts1[:n_surv], ok[:n_surv], depth[:n_surv]),
         (pts1[n_surv:], ok[n_surv:], depth[n_surv:]),
         tmpl,
+        n_anchor,
     )
 
 
@@ -536,9 +594,14 @@ def _frontend_step_impl(
 
     # --- Anchor refinement (FrontendConfig.anchor_refine): re-align the
     # track against its birth template so frame-to-frame sub-pixel bias
-    # cannot accumulate; accept small converged corrections only.
+    # cannot accumulate; accept small converged corrections only.  With the
+    # fused stereo configuration this runs INSIDE the merged stereo call
+    # (sharing its patch extraction); the standalone call remains for the
+    # unfused configurations.
+    fused = _fused_stereo_active(cfg, img_shape)
+    anchor_on = cfg.anchor_refine and _tmpl_carry_active(cfg)
     n_anchor = jnp.zeros((), jnp.int32)
-    if cfg.anchor_refine and _tmpl_carry_active(cfg):
+    if anchor_on and not fused:
         res_a, _ = optical_flow_lk_corr_l0(
             pyr0_curr[0], pyr0_curr[0], tracked_pts0, tracked_pts0, tracked,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
@@ -554,23 +617,29 @@ def _frontend_step_impl(
     # --- Detect new-feature candidates away from the tracked features
     # (detection runs before the stereo gate so the candidate match can
     # share the fine-level KLT call below; a cell whose track is about to
-    # die by the stereo gate refills next frame). ---
+    # die by the stereo gate refills next frame).  In the fused case
+    # detection sees the pre-anchor positions (<= anchor_radius px off —
+    # grid cells are ~100 px, occupancy cells 16 px). ---
     cand_xy, cand_score, cand_valid = _detect_candidates(
         tracked_pts0, tracked, pyr0_curr[0], cfg, img_shape
     )
 
     # --- Stereo match on the current pair: surviving tracks (carried
     # disparity guess, finest two levels) and candidates (extrinsic guess,
-    # full pyramid) in one merged fine-level pass. ---
+    # full pyramid) in one merged fine-level pass (anchor refinement and
+    # the LR round trip fused in, where configured). ---
     disparity_guess = tracked_pts0 + (state.pts1 - state.pts0) * depth_ratio[:, None]
     (
-        (pts1, matched, surv_depth),
+        (tracked_pts0, pts1, matched, surv_depth),
         (cand_pts1, cand_ok, cand_depth),
         (surv_tmpl, cand_tmpl),
+        n_anchor_fused,
     ) = _stereo_match_merged(
         pyr0_curr, pyr1_curr, tracked_pts0, disparity_guess, tracked,
         cand_xy, cand_valid, params, cfg, img_shape,
+        anchor_sp=state.anchor if (anchor_on and fused) else None,
     )
+    n_anchor = n_anchor + n_anchor_fused  # at most one side is nonzero
     after_matching = jnp.sum(matched)
 
     # --- Optional temporal 2-pt RANSAC on both cameras (trackFeatures

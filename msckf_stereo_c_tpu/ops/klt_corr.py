@@ -205,6 +205,272 @@ def _iterate_pallas(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, hi, interpret):
     return run(sc, Cx.reshape(N, K * K), Cy.reshape(N, K * K))
 
 
+def _resolve_mode() -> str:
+    mode = _LOOP_MODE
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return mode
+
+
+def _template_quantities(sp: jnp.ndarray, P: int):
+    """Template gradients + normal matrix + quality from a (N, P+2, P+2)
+    interpolated super-patch (shared by the temporal/stereo/anchor/backward
+    alignment problems).  Same expressions and order as the historical
+    inline block, so refactoring does not perturb numerics."""
+    templ = sp[:, 1:-1, 1:-1]
+    gx = 0.5 * (sp[:, 1:-1, 2:] - sp[:, 1:-1, :-2])
+    gy = 0.5 * (sp[:, 2:, 1:-1] - sp[:, :-2, 1:-1])
+    gxx = jnp.sum(gx * gx, (-2, -1))
+    gxy = jnp.sum(gx * gy, (-2, -1))
+    gyy = jnp.sum(gy * gy, (-2, -1))
+    G = jnp.stack(
+        [jnp.stack([gxx, gxy], -1), jnp.stack([gxy, gyy], -1)], -2
+    )  # (N, 2, 2)
+    tr = gxx + gyy
+    det = gxx * gyy - gxy * gxy
+    disc = jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
+    min_eig = (0.5 * tr - disc) / (P * P)
+    good = min_eig > _MIN_EIG_THRESHOLD
+    tgx = jnp.sum(templ * gx, (-2, -1))  # (N,)
+    tgy = jnp.sum(templ * gy, (-2, -1))
+    return gx, gy, G, good, tgx, tgy
+
+
+def _run_iterations(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, S, P, mode):
+    """LK iteration loop on precomputed correlation surfaces; returns the
+    converged window-origin coordinates f (N, 2).  Pallas kernel on TPU,
+    XLA while_loop elsewhere — identical semantics (see _iter_kernel_factory
+    and the historical inline loop)."""
+    if mode in ("pallas", "interpret"):
+        return _iterate_pallas(
+            Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, float(S - P - 1),
+            interpret=(mode == "interpret"),
+        )
+    dtype = Cx.dtype
+    K = Cx.shape[-1]
+    lo = jnp.asarray(0.0, dtype)
+    hi = jnp.asarray(S - P - 1.0, dtype)
+    u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(dtype)  # (1, K)
+
+    def cond(carry):
+        _, converged, it = carry
+        return (it < iters) & ~jnp.all(converged)
+
+    def body(carry):
+        f, converged, it = carry
+        fx = jnp.clip(f[:, 0], lo, hi)
+        fy = jnp.clip(f[:, 1], lo, hi)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fx[:, None]))  # (N, K)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fy[:, None]))
+        w2 = wy[:, :, None] * wx[:, None, :]  # (N, K, K)
+        bx = tgx - jnp.sum(w2 * Cx, (-2, -1))
+        by = tgy - jnp.sum(w2 * Cy, (-2, -1))
+        delta = solve2x2(G, jnp.stack([bx, by], -1))
+        # delta applies to the carried (possibly unclipped) f, then the
+        # new iterate is clamped into the search range — klt_gemm order.
+        new_f = jnp.clip(f + delta, lo, hi)
+        now_conv = jnp.linalg.norm(delta, axis=-1) < eps
+        f = jnp.where(converged[:, None], f, new_f)
+        return (f, converged | now_conv, it + 1)
+
+    f, _, _ = jax.lax.while_loop(cond, body, (f0, conv0, jnp.zeros((), jnp.int32)))
+    return f
+
+
+def _extract_at_origins(img, org, S, mode):
+    """(N, S, S) windows at integer origins ``org`` (float (N, 2) [x, y],
+    already clipped to [0, W-S] x [0, H-S])."""
+    if mode in ("pallas", "interpret"):
+        return extract_patches_pallas(
+            img, org.astype(jnp.int32), S, interpret=(mode == "interpret")
+        )
+
+    def one(o):
+        return jax.lax.dynamic_slice(img, (o[1], o[0]), (S, S))
+
+    return jax.vmap(one)(org.astype(jnp.int32))
+
+
+def _interp_template(img, pts, P, mode):
+    """(N, P+2, P+2) interpolated template super-patches at ``pts`` —
+    the exact extraction + interpolation path of ``_track_level_corr``
+    (bit-identical; the template-carry contract depends on it)."""
+    dtype = img.dtype
+    H, W = img.shape
+    q = P + 2
+    if mode in ("pallas", "interpret"):
+        # Extract the patch at origin floor(pts - (P+1)/2) so the fractional
+        # offset lies in [0,1): bilinear needs only 4 static slices (no
+        # tent-weight matmuls).  See _track_level_corr for the border-clamp
+        # rationale.
+        Tq = P + 3
+        torg = jnp.clip(
+            jnp.floor(pts) - (P + 1) // 2,
+            0,
+            jnp.array([W - Tq, H - Tq], dtype),
+        )
+        tpatch = extract_patches_pallas(
+            img, torg.astype(jnp.int32), Tq, interpret=(mode == "interpret")
+        )
+        a = jnp.clip(pts - (P + 1) / 2.0 - torg, 0.0, 1.0)
+        ax = a[:, 0][:, None, None]
+        ay = a[:, 1][:, None, None]
+        sp = (
+            tpatch[:, :q, :q] * (1 - ax) * (1 - ay)
+            + tpatch[:, :q, 1 : q + 1] * ax * (1 - ay)
+            + tpatch[:, 1 : q + 1, :q] * (1 - ax) * ay
+            + tpatch[:, 1 : q + 1, 1 : q + 1] * ax * ay
+        )  # (N, P+2, P+2)
+    else:
+        T = P + 4
+        tpatch, torg = _extract_patches(img, pts, T)
+        first = pts - (P + 1) / 2.0 - torg
+        Wy_t = _tent_weights(first[:, 1], q, T, dtype)
+        Wx_t = _tent_weights(first[:, 0], q, T, dtype)
+        sp = _sample(Wy_t, tpatch, Wx_t)  # (N, P+2, P+2)
+    return sp
+
+
+def fused_stereo_supported(img_shape, win: int) -> bool:
+    """True when the image is large enough for ``stereo_anchor_lr_fused``'s
+    margined search-patch geometry."""
+    return min(img_shape) >= win + 2 * _SEARCH_RADIUS + 4
+
+
+def stereo_anchor_lr_fused(
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    pts0: jnp.ndarray,
+    guess: jnp.ndarray,
+    valid_in: jnp.ndarray,
+    win: int = 15,
+    iters: int = 30,
+    eps: float = 0.01,
+    anchor_sp: jnp.ndarray | None = None,
+    anchor_valid: jnp.ndarray | None = None,
+    anchor_radius: float = 2.0,
+):
+    """Fused full-resolution stereo fine level: (optional) anchor-template
+    refinement of ``pts0`` + forward LK img0->img1 + backward left-right
+    round trip, sharing patch extractions across the three alignment
+    problems.
+
+    The unfused composition (frontend round 3) ran five Pallas patch
+    extractions per frame for these stages; on v5e the step is bound by the
+    NUMBER of sequential device ops, not their size (docs/BENCH_NOTES.md),
+    so the fusion is an op-count reduction at (near-)identical numerics:
+
+      big0 = S-window of img0 at pts0      — serves the anchor-refinement
+             search (bit-identical to the unfused call) AND the backward
+             round-trip search (unfused searched at the anchor-REFINED
+             position; <= anchor_radius px range shift, decisions preserved
+             — the range is +-9 px vs a ~1 px round-trip threshold);
+      big1 = (S+2)-window of img1 at the disparity guess — rows/cols
+             [1, S+1) are the forward search window (bit-identical interior;
+             <= 1 px search-range shift within S/2+1 px of the image border)
+             and the margins contain the (P+2)-window at any in-range
+             forward result, so the backward template is tent-interpolated
+             from it instead of re-extracted (same sample positions as the
+             unfused extraction; fp association differs);
+      the forward template keeps its own exact extraction path
+      (_interp_template) — the template-carry contract
+      (FrontendConfig.tmpl_carry) requires bit-identity with the temporal
+      call's extraction.
+
+    ``anchor_sp``/``anchor_valid`` cover the first A lanes (the survivor
+    slice); remaining lanes pass through unrefined.  Returns
+    (pts0_out, anchor_accept (A,) bool, KltResult forward, rt2 (N,)
+    round-trip squared error — +inf where the backward track is invalid,
+    sp forward templates (N, P+2, P+2)).
+
+    Replaces the unfused stereoMatch + LR + anchor composition; reference
+    anchor: image_processor.cpp:534-620 (single forward pass, no round
+    trip or anchor — those are this build's safeguards, see config.py).
+    """
+    dtype = img0.dtype
+    H, W = img0.shape
+    P = win
+    S = min(P + 2 * _SEARCH_RADIUS + 2, H, W)
+    Sb = S + 2
+    if min(H, W) < Sb or S < P + 2:
+        raise ValueError(
+            f"image {img0.shape} too small for fused stereo (needs >= {Sb})"
+        )
+    mode = _resolve_mode()
+    c_off = (P - 1) / 2.0
+    r = P // 2 + 1
+
+    def _inb(p):
+        return (p[:, 0] >= r) & (p[:, 0] < W - r) & (p[:, 1] >= r) & (p[:, 1] < H - r)
+
+    # --- Shared img0 window centered at the (pre-refinement) cam0 points.
+    sorg0 = jnp.clip(
+        jnp.floor(pts0) - (S // 2), 0, jnp.array([W - S, H - S], dtype)
+    )
+    big0 = _extract_at_origins(img0, sorg0, S, mode)
+
+    # --- Anchor refinement (first A lanes; bit-identical to the unfused
+    # optical_flow_lk_corr_l0(img0, img0, pts0, pts0, tmpl_sp=anchor) call:
+    # same search window, same template path, same iteration).
+    pts0_out = pts0
+    accept = None
+    if anchor_sp is not None:
+        A = anchor_sp.shape[0]
+        gxa, gya, Ga, gooda, tgxa, tgya = _template_quantities(anchor_sp, P)
+        Cxa, Cya = _corr_surfaces(big0[:A], gxa, gya, P)
+        f0a = pts0[:A] - c_off - sorg0[:A]
+        fa = _run_iterations(
+            Cxa, Cya, Ga, tgxa, tgya, f0a, ~gooda, iters, eps, S, P, mode
+        )
+        pa = fa + c_off + sorg0[:A]
+        oka = gooda & _inb(pa) & _inb(pts0[:A])
+        corr2 = jnp.sum((pa - pts0[:A]) ** 2, axis=1)
+        acc = anchor_valid & oka & (corr2 <= anchor_radius**2)
+        accept = acc
+        pts0_out = pts0.at[:A].set(jnp.where(acc[:, None], pa, pts0[:A]))
+
+    # --- Forward template at the refined positions (exact path).
+    sp = _interp_template(img0, pts0_out, P, mode)
+    gx, gy, G, good, tgx, tgy = _template_quantities(sp, P)
+
+    # --- Forward search: one (S+2)-window extraction; the +-1 margins
+    # contain the backward-template window at any in-range forward result.
+    guess2 = guess + (pts0_out - pts0)
+    o1 = jnp.clip(
+        jnp.floor(guess2) - (S // 2) - 1, 0, jnp.array([W - Sb, H - Sb], dtype)
+    )
+    big1 = _extract_at_origins(img1, o1, Sb, mode)
+    spatch = big1[:, 1 : 1 + S, 1 : 1 + S]
+    so = o1 + 1.0
+    Cx, Cy = _corr_surfaces(spatch, gx, gy, P)
+    f0 = guess2 - c_off - so
+    f = _run_iterations(Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, S, P, mode)
+    pts1 = f + c_off + so
+    okf = good & _inb(pts1) & _inb(pts0_out)
+    res = KltResult(pts=pts1, valid=valid_in & okf)
+
+    # --- Backward round trip: template tent-interpolated from big1 at the
+    # forward result (contained by the margins for all iterated lanes;
+    # frozen/garbage lanes clamp and are masked by okf anyway), search on
+    # big0, starting at the refined cam0 position.
+    q = P + 2
+    ob = jnp.clip(pts1 - (P + 1) / 2.0 - o1, 0.0, Sb - (P + 3.0))
+    sp_b = _sample(
+        _tent_weights(ob[:, 1], q, Sb, dtype), big1, _tent_weights(ob[:, 0], q, Sb, dtype)
+    )
+    gxb, gyb, Gb, goodb, tgxb, tgyb = _template_quantities(sp_b, P)
+    Cxb, Cyb = _corr_surfaces(big0, gxb, gyb, P)
+    f0b = pts0_out - c_off - sorg0
+    fb = _run_iterations(
+        Cxb, Cyb, Gb, tgxb, tgyb, f0b, ~goodb, iters, eps, S, P, mode
+    )
+    rt = fb + c_off + sorg0
+    okb = goodb & _inb(rt) & _inb(pts1)
+    rt2 = jnp.where(okb, jnp.sum((rt - pts0_out) ** 2, axis=1), jnp.inf)
+
+    return pts0_out, accept, res, rt2, sp
+
+
 def _track_level_corr(
     img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, final_level,
     tmpl_sp=None, want_tmpl=False,
@@ -219,86 +485,22 @@ def _track_level_corr(
     H, W = img_prev.shape
     P = win
     S = min(win + 2 * _SEARCH_RADIUS + 2, H, W)
-
-    mode = _LOOP_MODE
-    if mode == "auto":
-        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
-    interp = mode == "interpret"
+    mode = _resolve_mode()
 
     # --- Template + gradients (one-time cost).
     T = P + 4
     if S < P + 2 or min(H, W) < T:
         out = pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
         return out + (tmpl_sp,) if want_tmpl else out
-    if tmpl_sp is not None:
-        sp = tmpl_sp
-    elif mode in ("pallas", "interpret"):
-        # Extract the patch at origin floor(pts - (P+1)/2) so the fractional
-        # offset lies in [0,1): bilinear needs only 4 static slices (no
-        # tent-weight matmuls).  Samples the same positions as the tent path
-        # for interior features; within (P+1)/2 px of the border the offset
-        # is clamped to the nearest valid sample (such features are rejected
-        # by the final-level bounds check anyway).
-        Tq = P + 3
-        torg = jnp.clip(
-            jnp.floor(pts_prev) - (P + 1) // 2,
-            0,
-            jnp.array([W - Tq, H - Tq], dtype),
-        )
-        torg_i = torg.astype(jnp.int32)
-        tpatch = extract_patches_pallas(
-            img_prev, torg_i, Tq, interpret=(mode == "interpret")
-        )
-        a = jnp.clip(pts_prev - (P + 1) / 2.0 - torg, 0.0, 1.0)
-        ax = a[:, 0][:, None, None]
-        ay = a[:, 1][:, None, None]
-        q = P + 2
-        sp = (
-            tpatch[:, :q, :q] * (1 - ax) * (1 - ay)
-            + tpatch[:, :q, 1 : q + 1] * ax * (1 - ay)
-            + tpatch[:, 1 : q + 1, :q] * (1 - ax) * ay
-            + tpatch[:, 1 : q + 1, 1 : q + 1] * ax * ay
-        )  # (N, P+2, P+2)
-    else:
-        tpatch, torg = _extract_patches(img_prev, pts_prev, T)
-        first = pts_prev - (P + 1) / 2.0 - torg
-        Wy_t = _tent_weights(first[:, 1], P + 2, T, dtype)
-        Wx_t = _tent_weights(first[:, 0], P + 2, T, dtype)
-        sp = _sample(Wy_t, tpatch, Wx_t)  # (N, P+2, P+2)
-    templ = sp[:, 1:-1, 1:-1]
-    gx = 0.5 * (sp[:, 1:-1, 2:] - sp[:, 1:-1, :-2])
-    gy = 0.5 * (sp[:, 2:, 1:-1] - sp[:, :-2, 1:-1])
-
-    gxx = jnp.sum(gx * gx, (-2, -1))
-    gxy = jnp.sum(gx * gy, (-2, -1))
-    gyy = jnp.sum(gy * gy, (-2, -1))
-    G = jnp.stack(
-        [jnp.stack([gxx, gxy], -1), jnp.stack([gxy, gyy], -1)], -2
-    )  # (N, 2, 2)
-    tr = gxx + gyy
-    det = gxx * gyy - gxy * gxy
-    disc = jnp.sqrt(jnp.maximum(0.25 * tr * tr - det, 0.0))
-    min_eig = (0.5 * tr - disc) / (P * P)
-    good = min_eig > _MIN_EIG_THRESHOLD
-
-    tgx = jnp.sum(templ * gx, (-2, -1))  # (N,)
-    tgy = jnp.sum(templ * gy, (-2, -1))
+    sp = tmpl_sp if tmpl_sp is not None else _interp_template(img_prev, pts_prev, P, mode)
+    gx, gy, G, good, tgx, tgy = _template_quantities(sp, P)
 
     # --- Search patch around the initial guess + correlation surfaces.
-    if mode in ("pallas", "interpret"):
-        sorg = jnp.floor(pts_curr0) - (S // 2)
-        sorg = jnp.clip(sorg, 0, jnp.array([W - S, H - S], dtype))
-        spatch = extract_patches_pallas(
-            img_curr, sorg.astype(jnp.int32), S, interpret=(mode == "interpret")
-        )
-    else:
-        spatch, sorg = _extract_patches(img_curr, pts_curr0, S)
+    sorg = jnp.clip(
+        jnp.floor(pts_curr0) - (S // 2), 0, jnp.array([W - S, H - S], dtype)
+    )
+    spatch = _extract_at_origins(img_curr, sorg, S, mode)
     Cx, Cy = _corr_surfaces(spatch, gx, gy, P)  # (N, K, K)
-    K = S - P + 1
-
-    lo = jnp.asarray(0.0, dtype)
-    hi = jnp.asarray(S - P - 1.0, dtype)
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(dtype)  # (1, K)
 
     # Window-origin coordinates: f = pts - (P-1)/2 - sorg.  Carried
     # *unclipped* (matching klt_gemm: the initial guess may sit outside the
@@ -306,37 +508,7 @@ def _track_level_corr(
     # re-enters the range).
     c_off = (P - 1) / 2.0
     f0 = pts_curr0 - c_off - sorg  # (N, 2) [fx, fy]
-
-    if mode in ("pallas", "interpret"):
-        f = _iterate_pallas(
-            Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, float(S - P - 1),
-            interpret=(mode == "interpret"),
-        )
-    else:
-
-        def cond(carry):
-            _, converged, it = carry
-            return (it < iters) & ~jnp.all(converged)
-
-        def body(carry):
-            f, converged, it = carry
-            fx = jnp.clip(f[:, 0], lo, hi)
-            fy = jnp.clip(f[:, 1], lo, hi)
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fx[:, None]))  # (N, K)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(u_iota - fy[:, None]))
-            w2 = wy[:, :, None] * wx[:, None, :]  # (N, K, K)
-            bx = tgx - jnp.sum(w2 * Cx, (-2, -1))
-            by = tgy - jnp.sum(w2 * Cy, (-2, -1))
-            delta = solve2x2(G, jnp.stack([bx, by], -1))
-            # delta applies to the carried (possibly unclipped) f, then the
-            # new iterate is clamped into the search range — klt_gemm order.
-            new_f = jnp.clip(f + delta, lo, hi)
-            now_conv = jnp.linalg.norm(delta, axis=-1) < eps
-            f = jnp.where(converged[:, None], f, new_f)
-            return (f, converged | now_conv, it + 1)
-
-        f, _, _ = jax.lax.while_loop(cond, body, (f0, ~good, jnp.zeros((), jnp.int32)))
-
+    f = _run_iterations(Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, S, P, mode)
     pts = f + c_off + sorg
 
     if not final_level:

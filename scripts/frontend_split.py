@@ -68,10 +68,12 @@ def run_variant(name):
         fe._klt_fn = lambda impl: identity_klt
     elif name == "nostereo":
         fe._stereo_match_merged = (
-            lambda pyr0, pyr1, pts_surv, surv_guess, surv_valid, cand_xy, cand_valid, params, cfg, shape: (
-                (surv_guess, surv_valid),
-                (cand_xy, cand_valid),
+            lambda pyr0, pyr1, pts_surv, surv_guess, surv_valid, cand_xy, cand_valid, params, cfg, shape, anchor_sp=None: (
+                (pts_surv, surv_guess, surv_valid,
+                 jnp.zeros(surv_valid.shape, pts_surv.dtype)),
+                (cand_xy, cand_valid, jnp.zeros(cand_valid.shape, cand_xy.dtype)),
                 (None, None),
+                jnp.zeros((), jnp.int32),
             )
         )
     elif name == "noadd":
