@@ -76,7 +76,7 @@ def main():
         load_frontend_config,
     )
     from msckf_stereo_c_tpu.io import evaluate_ate, write_tum
-    from msckf_stereo_c_tpu.io.euroc import load_images, load_sequence, synchronize_stereo
+    from msckf_stereo_c_tpu.io.euroc import ImageSource, load_sequence, synchronize_stereo
     from msckf_stereo_c_tpu.models.vio import run_vio_sequence
 
     calib = load_camchain(args.camchain) if args.camchain else EUROC_CALIB
@@ -126,13 +126,21 @@ def main():
         port = viewer.start()
         print(f"live viewer at http://localhost:{port}/")
 
-    # Chunked decode + run.
+    # Chunked decode + run, with decode/compute OVERLAP: one native
+    # prefetch stream per camera stays open across the whole run, so its
+    # C++ worker threads decode chunk N+1's PNGs while chunk N runs on the
+    # device — the decode phase below measures only the residual wait
+    # (~0 after chunk 0 when decode keeps up).  This is the reference's
+    # producer/consumer pipeline (run_euroc_muitl_threads.cpp:30-90)
+    # without its front-end/back-end race.
     c = args.chunk
+    src0 = ImageSource(files0, prefetch=max(c, 64))
+    src1 = ImageSource(files1, prefetch=max(c, 64))
     for s0 in range(0, len(times), c):
         s1 = min(s0 + c, len(times))
         with timer.phase("decode_images"):
-            imgs0 = load_images(files0[s0:s1])
-            imgs1 = load_images(files1[s0:s1])
+            imgs0 = src0.next(s1 - s0)
+            imgs1 = src1.next(s1 - s0)
         t_chunk = time.time()
         dump_local = None
         if args.dump_filter_frame is not None and s0 <= args.dump_filter_frame < s1:
@@ -162,6 +170,8 @@ def main():
             viewer.publish(r.positions, frame=s1)
         el = time.time() - t_start
         print(f"  frames {s1}/{len(times)}  ({s1/el:.1f} fps cumulative)")
+    src0.close()
+    src1.close()
 
     import numpy as np
 

@@ -70,6 +70,7 @@ def main():
         stereo_lr_survivors=_env_bool(
             "BENCH_STEREO_LR_SURVIVORS", FrontendConfig.stereo_lr_survivors
         ),
+        cand_level1=_env_bool("BENCH_CAND_LEVEL1", FrontendConfig.cand_level1),
     )
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the
     # column-sequential Cholesky lowerings) are the hardware default;

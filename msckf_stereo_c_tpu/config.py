@@ -124,6 +124,13 @@ class FrontendConfig:
     # frame two — measured ATE/fast-motion gates unchanged, +55 fps.
     # 0 disables the cap.
     cand_budget: int = 48
+    # Candidate coarse walk: whether candidates refine their extrinsic
+    # guess at pyramid level 1 between the coarse (3,2) walk and the
+    # full-resolution pass.  The level-2 converged guess is within ~1 px at
+    # level-2 scale (~4 px full-res) of the lock — inside the 9 px full-res
+    # search radius — so the level-1 call is skippable for throughput;
+    # validated by the stress gate before changing the default.
+    cand_level1: bool = True
     # Left-right stereo consistency check (round-trip px threshold; 0
     # disables).  The epipolar gate cannot reject a wrong lock ALONG the
     # epipolar line, and with carried-disparity stereo matching such a lock

@@ -105,22 +105,75 @@ def load_images(files: List[str], width: int = 752, height: int = 480) -> np.nda
 
     Uses the native threaded decoder (native/euroc_runtime.cpp) when built;
     falls back to cv2."""
-    from . import native
+    src = ImageSource(files, width, height)
+    try:
+        return src.next(len(files))
+    finally:
+        src.close()
 
-    if native.available():
-        stream = native.ImageStream(files, width, height, queue_depth=64, threads=6)
-        out = stream.next_batch(len(files)).astype(np.float32)
-        if stream.errors:
-            raise IOError(f"{stream.errors} PNG decode failures")
-        stream.close()
-        return out
 
-    import cv2
+class ImageSource:
+    """Sequential chunked image source with decode/compute overlap.
 
-    imgs = []
-    for f in files:
-        img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            raise FileNotFoundError(f)
-        imgs.append(img.astype(np.float32))
-    return np.stack(imgs)
+    With the native runtime, ONE prefetching stream stays open across the
+    whole run: its C++ worker threads decode ahead (bounded by
+    ``prefetch`` — backpressure, not unbounded buffering), so the PNGs for
+    chunk N+1 are decoded WHILE chunk N runs on the device and
+    ``next(n)`` returns without waiting.  This realizes the reference's
+    producer/consumer pipeline (apps/run_euroc_muitl_threads.cpp:30-90)
+    without its race (the reference's backend could re-process or skip
+    feature messages, README.md:33 "bad"); ordering/backpressure of the
+    stream itself is stressed in tests/test_native_stream.py.
+
+    Without the native library the decode is synchronous cv2 per chunk."""
+
+    def __init__(
+        self,
+        files: List[str],
+        width: int = 752,
+        height: int = 480,
+        prefetch: int = 128,
+    ):
+        from . import native
+
+        self._files = list(files)
+        self._width, self._height = width, height
+        self._pos = 0
+        self._stream = None
+        if native.available():
+            self._stream = native.ImageStream(
+                self._files, width, height,
+                queue_depth=max(prefetch, 1), threads=6,
+            )
+
+    def next(self, count: int) -> np.ndarray:
+        """The next ``count`` frames, in file order, as (count, H, W) f32."""
+        count = min(count, len(self._files) - self._pos)
+        if self._stream is not None:
+            out = self._stream.next_batch(count).astype(np.float32)
+            if self._stream.errors:
+                raise IOError(f"{self._stream.errors} PNG decode failures")
+            self._pos += count
+            return out
+
+        import cv2
+
+        imgs = []
+        for f in self._files[self._pos : self._pos + count]:
+            img = cv2.imread(f, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise FileNotFoundError(f)
+            imgs.append(img.astype(np.float32))
+        self._pos += count
+        return np.stack(imgs)
+
+    def close(self):
+        if self._stream is not None:
+            self._stream.close()
+            self._stream = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -294,8 +294,11 @@ def _stereo_match_merged(
     sl = max(1, min(cfg.stereo_levels, len(pyr0)))
     if len(pyr0) > sl:
         # Candidate-only walk of the levels between the coarse pair and the
-        # shared fine levels (with the default sl=1 this is level 1).
+        # shared fine levels (with the default sl=1 this is level 1;
+        # cfg.cand_level1=False skips it — see config.py).
         for lvl in range(min(2, len(pyr0)) - 1, sl - 1, -1):
+            if lvl == 1 and not cfg.cand_level1:
+                continue
             s = float(2 ** lvl)
             res_m = klt(
                 pyr0[lvl:lvl + 1], pyr1[lvl:lvl + 1], cand_xy / s, cguess / s,

@@ -191,6 +191,12 @@ class VioResult:
     num_tracks: np.ndarray
     tracking: dict
     final_state: VioState
+    # Published per-frame feature measurements (ids / normalized stereo uv /
+    # validity) — the inputs the keyframe-BA refinement tier re-associates
+    # into tracks (parallel/refine.py).
+    fid: Optional[np.ndarray] = None  # (T, N) int32
+    uv: Optional[np.ndarray] = None  # (T, N, 4)
+    valid: Optional[np.ndarray] = None  # (T, N) bool
     # Filled only when run_vio_sequence(internals_at=N): the frame-N
     # differential-debug tensors from vio_step_internals.
     internals: Optional[dict] = None
@@ -303,5 +309,8 @@ def run_vio_sequence(
             "after_ransac": cat(fronts, "after_ransac"),
         },
         final_state=state,
+        fid=cat(fronts, "fid"),
+        uv=cat(fronts, "uv"),
+        valid=cat(fronts, "valid"),
         internals=internals,
     )

@@ -442,7 +442,18 @@ def _worker_ba(args) -> None:
     )
 
 
-def _worker_dryrun(args) -> None:
+def _worker_bench(args) -> None:
+    """Timed flagship weak-scaling point across processes: each process
+    reports the per-step wall time of the sharded full-pipeline chunk
+    (scripts/bench_scaling.py --processes consumes the MULTIPROC_BENCH
+    line).  Per-device work is constant (1 lane per device), so on real
+    hardware the multi-process time vs the single-process time at the same
+    mesh size IS the multi-host scaling-efficiency measurement; on a
+    shared-core CPU host the number is a plumbing exercise only."""
+    _worker_dryrun(args, time_reps=int(os.environ.get("MSCKF_BENCH_REPS", "2")))
+
+
+def _worker_dryrun(args, time_reps: int = 0) -> None:
     """Full flagship pipeline (bench configuration, EuRoC resolution) across
     processes — the multi-process form of __graft_entry__.dryrun_multichip."""
     import jax
@@ -508,6 +519,19 @@ def _worker_dryrun(args) -> None:
     run = make_sharded_vio_runner(mesh, fparams, mparams, fcfg, mcfg, method="schur")
     new_states, poses, fronts, metrics = run(g_states, *g_in)
     jax.block_until_ready(poses.p)
+    if time_reps:
+        import time as _time
+
+        t0 = _time.time()
+        for _ in range(time_reps):
+            _, poses, _, _ = run(g_states, *g_in)
+        jax.block_until_ready(poses.p)
+        dt = (_time.time() - t0) / time_reps
+        print(
+            f"MULTIPROC_BENCH process={jax.process_index()} step_ms="
+            f"{dt * 1e3:.1f} lanes={hi - lo} frames={T}",
+            flush=True,
+        )
     got = local_values(
         {
             "p": poses.p,
@@ -600,7 +624,7 @@ def launch_workers(
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("vio", "ba", "dryrun"), required=True)
+    ap.add_argument("--mode", choices=("vio", "ba", "dryrun", "bench"), required=True)
     ap.add_argument("--process-id", type=int, required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--coordinator", required=True)
@@ -616,6 +640,8 @@ def main(argv=None) -> None:
         _worker_vio(args)
     elif args.mode == "ba":
         _worker_ba(args)
+    elif args.mode == "bench":
+        _worker_bench(args)
     else:
         _worker_dryrun(args)
 

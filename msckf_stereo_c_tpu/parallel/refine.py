@@ -133,3 +133,17 @@ def refine_trajectory(
         run = make_distributed_ba(mesh, iters=iters)
         return run(problem)
     return ba_gauss_newton(problem, iters=iters)
+
+
+def problem_to_body_poses(problem: BAProblem, calib: StereoCalib = EUROC_CALIB):
+    """BA cam0 poses -> body(IMU) positions, for apples-to-apples ATE
+    against the VIO/ground-truth body trajectory."""
+    import jax.numpy as jnp
+
+    R_w_c = np.asarray(jpl_to_rot(jnp.asarray(problem.cam_q)))  # (F,3,3)
+    p_c = np.asarray(problem.cam_p)
+    T_ci = calib.cam0.T_cam_imu_mat()
+    R_ci, t_ci = T_ci[:3, :3], T_ci[:3, 3]
+    cam_in_imu = -R_ci.T @ t_ci
+    R_w_b = np.einsum("ij,tjk->tik", R_ci.T, R_w_c)
+    return p_c - np.einsum("tij,j->ti", R_w_b.transpose(0, 2, 1), cam_in_imu)

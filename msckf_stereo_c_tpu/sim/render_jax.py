@@ -14,7 +14,19 @@ needs (VERDICT round 1, "what's missing" #1):
 * per-frame texture/blob gain (texture-poor intervals -> feature dropout),
 * per-frame global brightness gain/offset (exposure drift),
 * a world-space sphere occluder (geometrically consistent between the two
-  cameras — tracks crossing it genuinely die).
+  cameras — tracks crossing it genuinely die),
+
+and the photometric realism channels (VERDICT round 3, next #4 — the
+residual gap between blobs-on-texture and real V1_01 imagery):
+
+* per-pixel sensor noise: read noise (constant sigma) + shot noise
+  (variance proportional to intensity), drawn per frame per camera,
+* motion blur from the TRUE trajectory during the exposure window: the
+  frame is the average of renders at poses sampled across the exposure
+  (K=3 taps at +/- one trajectory step, ~10 ms) — blur magnitude therefore
+  scales with the true angular/linear rates, exactly like a real shutter,
+* vignetting: radial intensity falloff toward the corners (static lens
+  property).
 
 Equivalence with the numpy renderer on the un-stressed channels is tested
 in tests/test_render_jax.py."""
@@ -33,9 +45,52 @@ from .render import _Texture, _ray_lut
 from .trajectory import SimTrajectory
 
 
+def _interp_pose_taps(
+    traj: SimTrajectory, frame_indices: np.ndarray, offsets: np.ndarray, n_traj: int
+):
+    """(T, K, 3, 3), (T, K, 3) poses at fractional trajectory offsets:
+    positions linearly interpolated, rotations geodesically (so3 log/exp
+    between the bracketing samples) — host-side numpy via the jnp lie ops
+    on stacked arrays."""
+    import jax
+
+    from ..utils.lie import so3_exp, so3_log
+
+    T = len(frame_indices)
+    K = len(offsets)
+    idx = frame_indices[:, None] + offsets[None, :]  # (T, K) fractional
+    idx = np.clip(idx, 0.0, n_traj - 1.0)
+    lo = np.floor(idx).astype(np.int64)
+    hi = np.minimum(lo + 1, n_traj - 1)
+    a = (idx - lo).astype(np.float64)  # (T, K)
+
+    p = (1.0 - a[..., None]) * traj.p[lo] + a[..., None] * traj.p[hi]
+    R_lo = traj.R_w_b[lo].reshape(-1, 3, 3)  # (T*K, 3, 3)
+    R_hi = traj.R_w_b[hi].reshape(-1, 3, 3)
+
+    # R(t) = R_lo @ exp(t * log(R_lo^T R_hi)); vectorized with jnp.
+    import jax.numpy as jnp
+
+    Rl = jnp.asarray(R_lo)
+    Rh = jnp.asarray(R_hi)
+    dR = jnp.einsum("nji,njk->nik", Rl, Rh)  # R_lo^T R_hi
+    phi = jax.vmap(so3_log)(dR)  # (T*K, 3)
+    Rt = jnp.einsum(
+        "nij,njk->nik",
+        Rl,
+        jax.vmap(so3_exp)(phi * jnp.asarray(a.reshape(-1))[:, None]),
+    )
+    return np.asarray(Rt).reshape(T, K, 3, 3), p
+
+
 @dataclasses.dataclass
 class StressEvents:
-    """Per-frame stress schedule (all arrays (T,) unless noted)."""
+    """Per-frame stress schedule (all arrays (T,) unless noted).
+
+    The photometric channels (None = off, keeping the channel out of the
+    compiled program entirely): ``noise_read``/``noise_shot`` per-pixel
+    sensor noise, ``blur`` exposure fraction for the 3-tap motion blur,
+    ``vignette`` corner falloff fraction."""
 
     tex_scale: np.ndarray  # texture AC amplitude multiplier (1 = nominal)
     blob_scale: np.ndarray  # landmark blob amplitude multiplier
@@ -43,6 +98,12 @@ class StressEvents:
     offset: np.ndarray  # global brightness offset (intensity units)
     occ_pos: np.ndarray  # (T, 3) occluder sphere center in world
     occ_radius: np.ndarray  # occluder radius in meters (0 = off)
+    noise_read: Optional[np.ndarray] = None  # (T,) read-noise sigma (DN)
+    noise_shot: Optional[np.ndarray] = None  # (T,) shot gain: var = shot * I
+    blur: Optional[np.ndarray] = None  # (T,) exposure fraction in [0, 1]
+    vignette: Optional[np.ndarray] = None  # (T,) corner falloff in [0, 1]
+    noise_seed: int = 0
+    noise_frame0: int = 0  # absolute index of frame 0 (set by .slice)
 
     @staticmethod
     def nominal(T: int) -> "StressEvents":
@@ -55,6 +116,29 @@ class StressEvents:
             occ_radius=np.zeros(T),
         )
 
+    def slice(self, s0: int, s1: int) -> "StressEvents":
+        """Frame-range slice (chunked rendering), None-aware."""
+
+        def cut(x):
+            return None if x is None else x[s0:s1]
+
+        return StressEvents(
+            tex_scale=self.tex_scale[s0:s1],
+            blob_scale=self.blob_scale[s0:s1],
+            gain=self.gain[s0:s1],
+            offset=self.offset[s0:s1],
+            occ_pos=self.occ_pos[s0:s1],
+            occ_radius=self.occ_radius[s0:s1],
+            noise_read=cut(self.noise_read),
+            noise_shot=cut(self.noise_shot),
+            blur=cut(self.blur),
+            vignette=cut(self.vignette),
+            # Per-frame noise keys are derived from the ABSOLUTE frame
+            # index, so chunked and one-shot renders draw identical noise.
+            noise_seed=self.noise_seed,
+            noise_frame0=self.noise_frame0 + s0,
+        )
+
 
 def make_stress_events(
     traj: SimTrajectory,
@@ -62,6 +146,16 @@ def make_stress_events(
     orbit_angle: Optional[np.ndarray] = None,
     occ_orbit_radius: float = 5.5,
     occ_max_radius: float = 0.8,
+    # Photometric realism channels — OFF until the tracker-side noise
+    # robustness work lands (round-4 WIP: the 36 s gate measures 0.0436 m
+    # with the round-3 channels, 0.135 with sensor noise alone and 0.258
+    # with noise+vignette; vignette alone is benign at 0.0488).
+    sensor_noise: bool = False,
+    noise_read_dn: float = 2.5,
+    noise_shot_gain: float = 0.06,
+    motion_blur: bool = False,
+    vignette: float = 0.0,
+    noise_seed: int = 0,
 ) -> StressEvents:
     """The standard stress schedule, windowed by normalized sequence time:
 
@@ -72,7 +166,12 @@ def make_stress_events(
       a person-scale obstruction) parked in front of the wall at the
       azimuth the camera sweeps mid-window — tracks die crossing it;
     * whole run: slow sinusoidal exposure drift (gain 1 +/- 0.25, offset
-      +/- 12 intensity units) plus a linear darkening trend.
+      +/- 12 intensity units) plus a linear darkening trend;
+    * whole run (round 4, VERDICT #4): per-pixel sensor noise (read sigma
+      ~2.5 DN + shot variance 0.06*I -> sigma ~3.6 DN at the 120 DN blob
+      peaks), full-exposure motion blur (the 3-tap true-trajectory average
+      — ~4-9 px of smear at the scene's 1-2 rad/s peak rates), and 35 %
+      corner vignetting.
     """
     t = traj.t[frame_indices]
     u = (t - t[0]) / max(t[-1] - t[0], 1e-9)
@@ -109,6 +208,11 @@ def make_stress_events(
         offset=offset,
         occ_pos=occ_pos,
         occ_radius=occ_radius,
+        noise_read=np.full(T, noise_read_dn) if sensor_noise else None,
+        noise_shot=np.full(T, noise_shot_gain) if sensor_noise else None,
+        blur=np.ones(T) if motion_blur else None,
+        vignette=np.full(T, vignette) if vignette > 0 else None,
+        noise_seed=noise_seed,
     )
 
 
@@ -128,6 +232,7 @@ class JaxRenderer:
         r_wall: float = 12.0,
         z_cap: float = 8.0,
         dtype=jnp.float32,
+        blur_taps: Tuple[float, ...] = (-0.5, 0.0, 0.5),
     ):
         rng = np.random.default_rng(seed)
         W, H = calib.cam0.resolution
@@ -136,6 +241,7 @@ class JaxRenderer:
         self.z_cap = z_cap
         self.min_depth = min_depth
         self.blob_radius = blob_radius
+        self.blur_taps = tuple(blur_taps)
         self.dtype = dtype
 
         L = landmarks.shape[0]
@@ -156,6 +262,7 @@ class JaxRenderer:
         T01 = calib.T_cam0_cam1_mat()
         T_ci1 = T01 @ T_ci0
         self.cams = []
+        self.vig_maps = []
         for T_ci, cam in ((T_ci0, calib.cam0), (T_ci1, calib.cam1)):
             rays = _ray_lut(cam.intrinsics, cam.distortion_coeffs, W, H)
             self.cams.append(
@@ -167,6 +274,19 @@ class JaxRenderer:
                     dist=jnp.asarray(cam.distortion_coeffs, dtype),
                 )
             )
+            # Vignetting falloff map: normalized squared radius from the
+            # principal point (1.0 at the farthest corner); a ``vignette``
+            # value of v scales the corner intensity by (1 - v).
+            cx, cy = cam.intrinsics[2], cam.intrinsics[3]
+            uu, vv = np.meshgrid(np.arange(W) - cx, np.arange(H) - cy)
+            r2 = uu * uu + vv * vv
+            corners = [
+                (0 - cx) ** 2 + (0 - cy) ** 2,
+                (W - 1 - cx) ** 2 + (0 - cy) ** 2,
+                (0 - cx) ** 2 + (H - 1 - cy) ** 2,
+                (W - 1 - cx) ** 2 + (H - 1 - cy) ** 2,
+            ]
+            self.vig_maps.append(jnp.asarray(r2 / max(corners), dtype))
 
     # ---- per-frame pieces -------------------------------------------------
 
@@ -277,32 +397,62 @@ class JaxRenderer:
             & (dist2 < ev["occ_radius"] ** 2)
             & (t_close < t_bg)
         )
-        img = jnp.where(hit, 42.0, img)
+        return jnp.where(hit, 42.0, img)
 
+    def _render_pair(self, R_wb, p_b, ev):
+        """Pre-photometric (geometry-only) images for both cameras."""
+        p_imu = jnp.matmul(
+            self.landmarks - p_b, R_wb.T, precision=jax.lax.Precision.HIGHEST
+        )
+        return (
+            self._render_one_cam(self.cams[0], R_wb, p_b, p_imu, ev),
+            self._render_one_cam(self.cams[1], R_wb, p_b, p_imu, ev),
+        )
+
+    def _finalize(self, img, ev, cam_idx: int):
+        """Photometric chain: vignette -> exposure gain/offset -> sensor
+        noise -> quantization range clip.  Optional channels are skipped
+        statically when their event entries are absent."""
+        v = ev.get("vignette")
+        if v is not None:
+            img = img * (1.0 - v * self.vig_maps[cam_idx])
         img = ev["gain"] * img + ev["offset"]
+        nr = ev.get("noise_read")
+        if nr is not None:
+            key = jax.random.fold_in(ev["noise_key"], cam_idx)
+            sigma = jnp.sqrt(
+                nr * nr + ev["noise_shot"] * jnp.maximum(img, 0.0)
+            )
+            img = img + sigma * jax.random.normal(key, img.shape, self.dtype)
         return jnp.clip(img, 0.0, 255.0)
 
     def render_frame(self, R_wb, p_b, ev):
         """(3,3), (3,), per-frame event dict -> (img0, img1)."""
-        p_imu = jnp.matmul(
-            self.landmarks - p_b, R_wb.T, precision=jax.lax.Precision.HIGHEST
-        )
-        img0 = self._render_one_cam(self.cams[0], R_wb, p_b, p_imu, ev)
-        img1 = self._render_one_cam(self.cams[1], R_wb, p_b, p_imu, ev)
-        return img0, img1
+        img0, img1 = self._render_pair(R_wb, p_b, ev)
+        return self._finalize(img0, ev, 0), self._finalize(img1, ev, 1)
 
     @partial(jax.jit, static_argnums=0)
-    def render_frames(self, R_wb, p_b, tex_scale, blob_scale, gain, offset, occ_pos, occ_radius):
-        """Batched render: (T,3,3),(T,3),(T,),... -> ((T,H,W), (T,H,W))."""
+    def render_frames(self, R_taps, p_taps, ev_arrays):
+        """Batched render: R_taps (T, K, 3, 3), p_taps (T, K, 3) exposure
+        taps per frame (K=1 without motion blur), ``ev_arrays`` a dict of
+        per-frame channel arrays -> ((T,H,W), (T,H,W)).
 
-        def one(R, p, ts, bs, g, off, op, orad):
-            return self.render_frame(
-                R, p,
-                dict(tex_scale=ts, blob_scale=bs, gain=g, offset=off,
-                     occ_pos=op, occ_radius=orad),
-            )
+        With blur, the frame is (1-b) * center tap + b * mean(taps): b = 1
+        is a full-exposure 3-tap shutter whose smear magnitude comes from
+        the true pose change across the taps."""
 
-        return jax.vmap(one)(R_wb, p_b, tex_scale, blob_scale, gain, offset, occ_pos, occ_radius)
+        def one(R_k, p_k, ev):
+            K = R_k.shape[0]
+            i0s, i1s = jax.vmap(lambda R, p: self._render_pair(R, p, ev))(R_k, p_k)
+            b = ev.get("blur")
+            if b is None or K == 1:
+                i0, i1 = i0s[K // 2], i1s[K // 2]
+            else:
+                i0 = (1.0 - b) * i0s[K // 2] + b * jnp.mean(i0s, axis=0)
+                i1 = (1.0 - b) * i1s[K // 2] + b * jnp.mean(i1s, axis=0)
+            return self._finalize(i0, ev, 0), self._finalize(i1, ev, 1)
+
+        return jax.vmap(one)(R_taps, p_taps, ev_arrays)
 
     def render_sequence(
         self,
@@ -314,21 +464,53 @@ class JaxRenderer:
         """Host convenience: chunked device render -> host arrays."""
         T = len(frame_indices)
         ev = events or StressEvents.nominal(T)
-        R = jnp.asarray(traj.R_w_b[frame_indices], self.dtype)
-        p = jnp.asarray(traj.p[frame_indices], self.dtype)
-        args = [
-            jnp.asarray(ev.tex_scale, self.dtype),
-            jnp.asarray(ev.blob_scale, self.dtype),
-            jnp.asarray(ev.gain, self.dtype),
-            jnp.asarray(ev.offset, self.dtype),
-            jnp.asarray(ev.occ_pos, self.dtype),
-            jnp.asarray(ev.occ_radius, self.dtype),
-        ]
+        frame_indices = np.asarray(frame_indices)
+        n_traj = traj.p.shape[0]
+        if ev.blur is not None:
+            # Exposure taps at fractional trajectory steps (default
+            # +/- 0.5 step = a ~5 ms shutter at the 200 Hz trajectory
+            # rate), pose-interpolated so the taps sit CLOSE enough
+            # (<= ~2-4 px at the scene's peak rates) to integrate into a
+            # smooth streak rather than discrete ghost images — the first
+            # 3-tap +/-1-step variant produced 4-8 px ghost spacing and
+            # KLT locked onto the ghosts (36 s probe ATE 0.26 m).
+            # The smear magnitude still comes from the TRUE pose change
+            # over the exposure.
+            offsets = np.asarray(self.blur_taps)
+            R_np, p_np = _interp_pose_taps(traj, frame_indices, offsets, n_traj)
+        else:
+            R_np = traj.R_w_b[frame_indices][:, None]  # (T, 1, 3, 3)
+            p_np = traj.p[frame_indices][:, None]
+        R = jnp.asarray(R_np, self.dtype)  # (T, K, 3, 3)
+        p = jnp.asarray(p_np, self.dtype)  # (T, K, 3)
+
+        ev_arrays = dict(
+            tex_scale=jnp.asarray(ev.tex_scale, self.dtype),
+            blob_scale=jnp.asarray(ev.blob_scale, self.dtype),
+            gain=jnp.asarray(ev.gain, self.dtype),
+            offset=jnp.asarray(ev.offset, self.dtype),
+            occ_pos=jnp.asarray(ev.occ_pos, self.dtype),
+            occ_radius=jnp.asarray(ev.occ_radius, self.dtype),
+        )
+        if ev.blur is not None:
+            ev_arrays["blur"] = jnp.asarray(ev.blur, self.dtype)
+        if ev.vignette is not None:
+            ev_arrays["vignette"] = jnp.asarray(ev.vignette, self.dtype)
+        if ev.noise_read is not None:
+            ev_arrays["noise_read"] = jnp.asarray(ev.noise_read, self.dtype)
+            ev_arrays["noise_shot"] = jnp.asarray(ev.noise_shot, self.dtype)
+            base = jax.random.PRNGKey(ev.noise_seed)
+            ev_arrays["noise_key"] = jax.vmap(
+                lambda i: jax.random.fold_in(base, i)
+            )(jnp.arange(ev.noise_frame0, ev.noise_frame0 + T))
+
         outs0, outs1 = [], []
         for s0 in range(0, T, chunk):
             s1 = min(s0 + chunk, T)
             i0, i1 = self.render_frames(
-                R[s0:s1], p[s0:s1], *[a[s0:s1] for a in args]
+                R[s0:s1],
+                p[s0:s1],
+                {k: a[s0:s1] for k, a in ev_arrays.items()},
             )
             outs0.append(np.asarray(i0))
             outs1.append(np.asarray(i1))

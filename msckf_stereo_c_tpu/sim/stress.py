@@ -71,6 +71,7 @@ def run_stress_gate(
     lm_seed: Optional[int] = None,
     imu_gyro_noise: float = 5e-4,
     imu_acc_noise: float = 5e-3,
+    events_kwargs: Optional[dict] = None,
 ) -> StressGateResult:
     """Render + run the stress scene in fixed-memory chunks.
 
@@ -97,7 +98,10 @@ def run_stress_gate(
     if events is not None:
         ev = events
     elif stress:
-        ev = make_stress_events(traj, frame_idx)
+        # The photometric channels re-draw with the robustness seed too.
+        ev = make_stress_events(
+            traj, frame_idx, noise_seed=seed, **(events_kwargs or {})
+        )
     else:
         ev = StressEvents.nominal(T)
     renderer = JaxRenderer(landmarks, calib, r_wall=r_wall, z_cap=z_cap)
@@ -109,15 +113,9 @@ def run_stress_gate(
     results = []
     for s0 in range(0, T, chunk):
         s1 = min(s0 + chunk, T)
-        sub_ev = StressEvents(
-            tex_scale=ev.tex_scale[s0:s1],
-            blob_scale=ev.blob_scale[s0:s1],
-            gain=ev.gain[s0:s1],
-            offset=ev.offset[s0:s1],
-            occ_pos=ev.occ_pos[s0:s1],
-            occ_radius=ev.occ_radius[s0:s1],
+        img0, img1 = renderer.render_sequence(
+            traj, frame_idx[s0:s1], ev.slice(s0, s1), chunk=chunk
         )
-        img0, img1 = renderer.render_sequence(traj, frame_idx[s0:s1], sub_ev, chunk=chunk)
         res = run_vio_sequence(
             fcfg,
             mcfg,
@@ -151,6 +149,9 @@ def run_stress_gate(
             for k in results[0].tracking
         },
         final_state=state,
+        fid=cat("fid"),
+        uv=cat("uv"),
+        valid=cat("valid"),
     )
     gt_t, gt_p = frame_t, traj.p[frame_idx]
     ate = evaluate_ate(full.times, full.positions, gt_t, gt_p)

@@ -49,7 +49,19 @@ def main():
     )
     fcfg = FrontendConfig(
         matmul_precision=os.environ.get("STRESS_FRONTEND_PRECISION", FrontendConfig.matmul_precision),
+        cand_level1=os.environ.get(
+            "STRESS_CAND_LEVEL1", str(int(FrontendConfig.cand_level1))
+        ) == "1",
     )
+
+    # Photometric-channel knobs (defaults follow make_stress_events).
+    events_kwargs = {}
+    if "STRESS_SENSOR_NOISE" in os.environ:
+        events_kwargs["sensor_noise"] = os.environ["STRESS_SENSOR_NOISE"] == "1"
+    if "STRESS_MOTION_BLUR" in os.environ:
+        events_kwargs["motion_blur"] = os.environ["STRESS_MOTION_BLUR"] == "1"
+    if "STRESS_VIGNETTE" in os.environ:
+        events_kwargs["vignette"] = float(os.environ["STRESS_VIGNETTE"])
 
     gate = 0.13
     t0 = time.time()
@@ -66,6 +78,7 @@ def main():
             # seed 0 keeps the historical layout (lm_seed=1); other seeds
             # re-draw the landmark field too.
             lm_seed=1 if seed == 0 else 1000 + seed,
+            events_kwargs=events_kwargs,
         )
         runs.append(out)
         if n_seeds > 1:
@@ -84,6 +97,49 @@ def main():
 
     ates = np.array([r.ate_rmse for r in runs])
     worst = runs[int(np.argmax(ates))]
+
+    # STRESS_REFINE=1 (or --refine): feed the gate's VIO output through the
+    # keyframe-BA refinement tier (parallel/refine.py -> distributed
+    # Schur-complement BA) and report keyframe ATE before/after — the
+    # flagship-artifact wiring of the new-capability tier (VERDICT round 3
+    # next #6).  Gauge note: BA fixes the first keyframe pose, so it can
+    # only reduce RELATIVE inconsistency; both numbers go through the same
+    # Horn alignment.
+    refine_stats = None
+    if os.environ.get("STRESS_REFINE", "0") == "1" or "--refine" in sys.argv:
+        from msckf_stereo_c_tpu.config import EUROC_CALIB
+        from msckf_stereo_c_tpu.io import evaluate_ate
+        from msckf_stereo_c_tpu.parallel.refine import (
+            build_ba_problem,
+            problem_to_body_poses,
+            refine_trajectory,
+        )
+
+        r0 = worst
+        stride = int(os.environ.get("STRESS_REFINE_STRIDE", "5"))
+        prob = build_ba_problem(
+            r0.result.times, r0.result.quats_xyzw, r0.result.positions,
+            r0.result.fid, r0.result.uv, r0.result.valid,
+            calib=EUROC_CALIB, keyframe_stride=stride,
+            max_keyframes=int(os.environ.get("STRESS_REFINE_KF", "60")),
+        )
+        if prob is None:
+            refine_stats = {"refine": "skipped (too few tracks/keyframes)"}
+        else:
+            kf = np.arange(0, len(r0.result.times), stride)[: prob.cam_q.shape[0]]
+            kf_t = r0.result.times[kf]
+            gt_at_kf = r0.gt_p[np.searchsorted(r0.gt_t, kf_t).clip(0, len(r0.gt_t) - 1)]
+            before = evaluate_ate(kf_t, problem_to_body_poses(prob), kf_t, gt_at_kf)
+            refined, costs = refine_trajectory(prob, iters=8)
+            after = evaluate_ate(kf_t, problem_to_body_poses(refined), kf_t, gt_at_kf)
+            refine_stats = {
+                "refine_keyframes": int(prob.cam_q.shape[0]),
+                "refine_landmarks": int(prob.landmarks.shape[0]),
+                "refine_cost_drop": float(costs[0] / max(float(costs[-1]), 1e-30)),
+                "ate_kf_before": round(float(before.rmse), 4),
+                "ate_kf_after": round(float(after.rmse), 4),
+            }
+
     print(
         json.dumps(
             {
@@ -101,6 +157,7 @@ def main():
                 "min_tracks": int(min(r.min_tracks_after_ransac for r in runs)),
                 "device": jax.devices()[0].device_kind,
                 "wall_s": round(wall, 1),
+                **(refine_stats or {}),
             }
         )
     )

@@ -107,6 +107,17 @@ def main():
         s1 = min(s0 + C, T)
         ev = StressEvents.nominal(s1 - s0)
         ev.tex_scale[:] = tex_scale
+        # Photometric channels (round 4): PROBE_NOISE=1 / PROBE_VIG=v /
+        # PROBE_BLUR=1 turn on the realism channels frame-aligned with the
+        # absolute index (noise identical to the gate's draw at seed 0).
+        if os.environ.get("PROBE_NOISE", "0") == "1":
+            ev.noise_read = np.full(s1 - s0, 2.5)
+            ev.noise_shot = np.full(s1 - s0, 0.06)
+            ev.noise_frame0 = s0
+        if float(os.environ.get("PROBE_VIG", "0")) > 0:
+            ev.vignette = np.full(s1 - s0, float(os.environ["PROBE_VIG"]))
+        if os.environ.get("PROBE_BLUR", "0") == "1":
+            ev.blur = np.ones(s1 - s0)
         img0, img1 = renderer.render_sequence(traj, idx[s0:s1], ev, chunk=C)
         carry, (f, u, v) = chunk_scan(
             carry[0], carry[1], carry[2],

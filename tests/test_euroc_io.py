@@ -101,3 +101,42 @@ def test_end_to_end_driver_ate(fake_euroc):
     assert ate.num_pairs == len(times)
     # 3 s of motion on the synthetic world; the EuRoC bar is 0.13 m.
     assert ate.rmse < 0.13, f"driver-path ATE {ate.rmse}"
+
+
+def test_image_source_chunked_equivalence_and_overlap(fake_euroc):
+    """ImageSource: chunked reads across boundaries equal the one-shot
+    decode, and with the native stream a chunk decoded DURING simulated
+    device compute is served from the prefetch queue (decode/compute
+    overlap — the reference's producer/consumer pipeline,
+    run_euroc_muitl_threads.cpp:30-90, without its race)."""
+    import time
+
+    from msckf_stereo_c_tpu.io import native
+    from msckf_stereo_c_tpu.io.euroc import ImageSource
+
+    root, _, _ = fake_euroc
+    seq = load_sequence(root)
+    _, f0, _ = synchronize_stereo(seq)
+    whole = load_images(f0)
+
+    with ImageSource(f0, prefetch=len(f0)) as src:
+        parts = [src.next(7) for _ in range((len(f0) + 6) // 7)]
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+
+    # Cold synchronous decode time of one 20-frame chunk.
+    t0 = time.time()
+    load_images(f0[:20])
+    cold = time.time() - t0
+
+    with ImageSource(f0, prefetch=64) as src:
+        src.next(20)  # chunk 0 (cold)
+        time.sleep(max(4 * cold, 0.5))  # "device compute": workers decode ahead
+        t0 = time.time()
+        src.next(20)  # chunk 1 should come from the prefetch queue
+        warm = time.time() - t0
+    # Generous bound (2-core CI box): the prefetched chunk must cost well
+    # under the synchronous decode.
+    assert warm < max(0.6 * cold, 0.15), (warm, cold)
