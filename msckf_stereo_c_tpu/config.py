@@ -68,7 +68,13 @@ class FrontendConfig:
     grid_max_feature_num: int = 4
     pyramid_levels: int = 4  # reference hardcodes 4 (image_processor.cpp:232)
     patch_size: int = 15
-    fast_threshold: int = 10
+    # Reference value is 10 on RAW pixels (app_imgproc.yaml); with the
+    # presmooth prefilter (below) the blur scales small-feature contrast
+    # by ~0.7, so the default compensates to 7 (>= 8 sigma of the
+    # post-filter noise floor).  Measured on the 36 s realism gate:
+    # threshold 10 + presmooth loses all tracks in the texture-poor +
+    # vignette window (min_tracks 0); 7 keeps 9+ and ATE 0.0479 m.
+    fast_threshold: int = 7
     max_iteration: int = 30
     track_precision: float = 0.01
     ransac_threshold: float = 3.0
@@ -124,12 +130,30 @@ class FrontendConfig:
     # frame two — measured ATE/fast-motion gates unchanged, +55 fps.
     # 0 disables the cap.
     cand_budget: int = 48
+    # Sensor-noise prefilter: run the full-resolution tracking/detection
+    # level through a 5-tap binomial blur (ops/pyramid.py:smooth5).  Under
+    # realistic per-pixel sensor noise (read sigma 2.5 DN + shot 0.06*I),
+    # raw-pixel central-difference gradients make FAST birth spurious
+    # corners (~1800 extra non-landmark tracks on the 36 s stress probe)
+    # and hold a persistent ~+0.05 px tracking bias; the prefilter cuts
+    # pixel noise ~3.7x with an unbiased symmetric kernel.  The reference
+    # detects/tracks on raw pixels (image_processor.cpp:213-245) — its
+    # real-camera inputs carry exactly this noise.  Coarse pyramid levels
+    # keep the exact OpenCV pyrDown chain.  Measured (36 s stress gate):
+    # noise-only 0.135 -> 0.0479 m with all realism channels on; the
+    # round-3 clean-channel scene is unchanged (0.0433 vs 0.0436).
+    # Pairs with the compensated fast_threshold default above.
+    presmooth: bool = True
     # Candidate coarse walk: whether candidates refine their extrinsic
     # guess at pyramid level 1 between the coarse (3,2) walk and the
-    # full-resolution pass.  The level-2 converged guess is within ~1 px at
-    # level-2 scale (~4 px full-res) of the lock — inside the 9 px full-res
-    # search radius — so the level-1 call is skippable for throughput;
-    # validated by the stress gate before changing the default.
+    # full-resolution pass.  False is +47 fps (bench 1096.8 -> 1143.6,
+    # bench-scene ATE 0.0048) but MEASURED UNSAFE at long horizon: the
+    # 130 s TPU stress gate degrades 0.036 -> 0.117 m without it — the
+    # level-2 guess (~4 px full-res error) lands inside the full-res
+    # search radius but close enough to neighboring-blob basins that
+    # candidate locks are born subtly wrong under the stress scene's
+    # feature density.  Default stays True; the knob remains for
+    # benign-scene throughput runs (BENCH_CAND_LEVEL1=0).
     cand_level1: bool = True
     # Left-right stereo consistency check (round-trip px threshold; 0
     # disables).  The epipolar gate cannot reject a wrong lock ALONG the

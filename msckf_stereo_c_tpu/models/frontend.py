@@ -32,7 +32,7 @@ from ..ops.klt_corr import (
 )
 from ..ops.klt_gemm import optical_flow_pyr_lk_gemm
 
-from ..ops.pyramid import build_pyramid
+from ..ops.pyramid import build_pyramid, smooth5
 from ..ops.ransac import two_point_ransac
 from ..utils.lie import skew, so3_exp
 
@@ -697,7 +697,15 @@ def uv_dtype(state: TrackerState):
 
 
 def pyramids_for(img: jnp.ndarray, cfg: FrontendConfig):
-    return tuple(build_pyramid(img, cfg.pyramid_levels))
+    """Image pyramid for the tracker.  With cfg.presmooth the FULL-RES
+    level is the 5-tap binomial prefilter of the input (sensor-noise
+    robustness; see FrontendConfig.presmooth) while coarse levels keep the
+    exact OpenCV pyrDown chain built from the raw image (their decimation
+    already averages noise down)."""
+    pyr = build_pyramid(img, cfg.pyramid_levels)
+    if cfg.presmooth:
+        pyr = [smooth5(img)] + pyr[1:]
+    return tuple(pyr)
 
 
 def feature_lifetime_statistics(state: TrackerState):

@@ -60,6 +60,38 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     ).astype(img.dtype)
 
 
+@lru_cache(maxsize=None)
+def _smooth_matrix(n: int) -> np.ndarray:
+    """(n, n) banded matrix applying the 5-tap kernel at every position
+    (no decimation), REFLECT_101 borders."""
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    S = np.zeros((n, n))
+    for i in range(n):
+        for t in range(5):
+            j = i + t - 2
+            if j < 0:
+                j = -j
+            if j >= n:
+                j = 2 * n - 2 - j
+            S[i, j] += k[t]
+    return S.astype(np.float32)
+
+
+def smooth5(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 5-tap binomial blur (sigma ~1 px, no decimation) — the
+    tracker's sensor-noise prefilter (FrontendConfig.presmooth).  Cuts
+    per-pixel noise ~3.7x (sqrt(sum k^2)^2 = 0.27) while the symmetric
+    kernel leaves sub-pixel geometry unbiased.  Dense GEMMs like pyr_down
+    (the MXU eats the banded structure)."""
+    H = img.shape[-2]
+    W = img.shape[-1]
+    Sh = jnp.asarray(_smooth_matrix(H), img.dtype)
+    Sw = jnp.asarray(_smooth_matrix(W), img.dtype)
+    return jnp.einsum(
+        "oi,...ij,pj->...op", Sh, img, Sw, preferred_element_type=jnp.float32
+    ).astype(img.dtype)
+
+
 def build_pyramid(img: jnp.ndarray, levels: int = 4) -> List[jnp.ndarray]:
     """Level-0 is the input image (reference createImagePyramids hardcodes
     4 levels, image_processor.cpp:232)."""

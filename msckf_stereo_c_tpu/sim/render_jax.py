@@ -146,15 +146,17 @@ def make_stress_events(
     orbit_angle: Optional[np.ndarray] = None,
     occ_orbit_radius: float = 5.5,
     occ_max_radius: float = 0.8,
-    # Photometric realism channels — OFF until the tracker-side noise
-    # robustness work lands (round-4 WIP: the 36 s gate measures 0.0436 m
-    # with the round-3 channels, 0.135 with sensor noise alone and 0.258
-    # with noise+vignette; vignette alone is benign at 0.0488).
-    sensor_noise: bool = False,
+    # Photometric realism channels — ON by default since the tracker's
+    # noise prefilter landed (FrontendConfig.presmooth).  History: with the
+    # raw-pixel tracker the 36 s gate measured 0.0436 m with the round-3
+    # channels, 0.135 with sensor noise alone and 0.258 with
+    # noise+vignette; with the prefilter + compensated FAST threshold the
+    # all-channels gate measures 0.0479 m (docs/STRESS_NOTES.md round 4).
+    sensor_noise: bool = True,
     noise_read_dn: float = 2.5,
     noise_shot_gain: float = 0.06,
-    motion_blur: bool = False,
-    vignette: float = 0.0,
+    motion_blur: bool = True,
+    vignette: float = 0.35,
     noise_seed: int = 0,
 ) -> StressEvents:
     """The standard stress schedule, windowed by normalized sequence time:

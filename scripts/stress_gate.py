@@ -52,6 +52,12 @@ def main():
         cand_level1=os.environ.get(
             "STRESS_CAND_LEVEL1", str(int(FrontendConfig.cand_level1))
         ) == "1",
+        presmooth=os.environ.get(
+            "STRESS_PRESMOOTH", str(int(FrontendConfig.presmooth))
+        ) == "1",
+        fast_threshold=int(
+            os.environ.get("STRESS_FAST_THR", FrontendConfig.fast_threshold)
+        ),
     )
 
     # Photometric-channel knobs (defaults follow make_stress_events).

@@ -68,13 +68,9 @@ def test_stress_events_actually_fire():
     ev = make_stress_events(traj, idx)
     assert np.mean(ev.tex_scale < 0.2) > 0.15  # texture-poor windows
     assert np.mean(ev.occ_radius > 0.5) > 0.08  # occluder sweep
-    # Photometric realism channels (round 4): constructable on demand
-    # (defaults flip on with the tracker-side noise robustness work).
-    ev_p = make_stress_events(
-        traj, idx, sensor_noise=True, motion_blur=True, vignette=0.35
-    )
-    assert ev_p.noise_read is not None and float(ev_p.noise_read.min()) > 1.0
-    assert ev_p.noise_shot is not None and float(ev_p.noise_shot.min()) > 0.0
-    assert ev_p.blur is not None and float(ev_p.blur.max()) == 1.0
-    assert ev_p.vignette is not None and float(ev_p.vignette.max()) > 0.2
+    # Photometric realism channels (round 4): on by default in the gate.
+    assert ev.noise_read is not None and float(ev.noise_read.min()) > 1.0
+    assert ev.noise_shot is not None and float(ev.noise_shot.min()) > 0.0
+    assert ev.blur is not None and float(ev.blur.max()) == 1.0
+    assert ev.vignette is not None and float(ev.vignette.max()) > 0.2
     assert ev.gain.max() - ev.gain.min() > 0.3  # exposure drift

@@ -96,18 +96,24 @@ def test_sharded_full_pipeline_matches_single_device():
             np.testing.assert_array_equal(
                 np.asarray(fronts.fid[b, k]), np.asarray(front.fid)
             )
+            # f32: the sharded and single-device programs compile with
+            # different fusion choices, and since the presmooth prefilter
+            # (round 4) even the level-0 image differs in ulps between the
+            # two compilations; through a k-frame filter cascade the
+            # positions drift up to ~1e-4 m.  Track identity (fid) must
+            # still match EXACTLY — the divergence is fp-level only.
             np.testing.assert_allclose(
-                np.asarray(poses.p[b, k]), np.asarray(pose.p), atol=1e-5
+                np.asarray(poses.p[b, k]), np.asarray(pose.p), atol=5e-4
             )
             np.testing.assert_allclose(
-                np.asarray(poses.q_xyzw[b, k]), np.asarray(pose.q_xyzw), atol=1e-6
+                np.asarray(poses.q_xyzw[b, k]), np.asarray(pose.q_xyzw), atol=5e-5
             )
         # Final filter state agrees too (covariance within f32 slack).
         lane_final = jax.tree.map(lambda x: x[b], new_states)
         np.testing.assert_allclose(
             np.asarray(lane_final.filt.imu.p),
             np.asarray(s.filt.imu.p),
-            atol=1e-5,
+            atol=5e-4,
         )
         # T > M+1 guarantees the cam window filled and _prune_cam_states
         # (camera-compacted rank-12 schur update) executed under shard_map;
