@@ -140,3 +140,21 @@ def test_image_source_chunked_equivalence_and_overlap(fake_euroc):
     # Generous bound (2-core CI box): the prefetched chunk must cost well
     # under the synchronous decode.
     assert warm < max(0.6 * cold, 0.15), (warm, cold)
+
+
+def test_image_source_cv2_fallback(fake_euroc, monkeypatch):
+    """Without the native runtime the source must fall back to synchronous
+    cv2 decode with identical pixels and chunk semantics."""
+    from msckf_stereo_c_tpu.io import native
+    from msckf_stereo_c_tpu.io.euroc import ImageSource
+
+    root, _, _ = fake_euroc
+    seq = load_sequence(root)
+    _, f0, _ = synchronize_stereo(seq)
+    whole = load_images(f0[:10])
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    with ImageSource(f0[:10]) as src:
+        parts = [src.next(4), src.next(4), src.next(4)]  # last is short
+    assert parts[2].shape[0] == 2
+    np.testing.assert_array_equal(np.concatenate(parts), whole)
