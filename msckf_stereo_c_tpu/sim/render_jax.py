@@ -69,17 +69,26 @@ def _interp_pose_taps(
     R_hi = traj.R_w_b[hi].reshape(-1, 3, 3)
 
     # R(t) = R_lo @ exp(t * log(R_lo^T R_hi)); vectorized with jnp.
+    # HIGHEST precision: any renderer-side geometry matmul left at the TPU
+    # f32 default (1-pass bf16) silently warps the rendered imagery — the
+    # round-3 "phantom TPU accuracy gap" trap (see _raycast).  This ran at
+    # default precision at first and reopened exactly that gap: 130 s
+    # realism gate 0.123 m on CPU vs 0.243 m on TPU.
     import jax.numpy as jnp
 
-    Rl = jnp.asarray(R_lo)
-    Rh = jnp.asarray(R_hi)
-    dR = jnp.einsum("nji,njk->nik", Rl, Rh)  # R_lo^T R_hi
-    phi = jax.vmap(so3_log)(dR)  # (T*K, 3)
-    Rt = jnp.einsum(
-        "nij,njk->nik",
-        Rl,
-        jax.vmap(so3_exp)(phi * jnp.asarray(a.reshape(-1))[:, None]),
-    )
+    with jax.default_matmul_precision("highest"):
+        Rl = jnp.asarray(R_lo)
+        Rh = jnp.asarray(R_hi)
+        dR = jnp.einsum(
+            "nji,njk->nik", Rl, Rh, precision=jax.lax.Precision.HIGHEST
+        )  # R_lo^T R_hi
+        phi = jax.vmap(so3_log)(dR)  # (T*K, 3)
+        Rt = jnp.einsum(
+            "nij,njk->nik",
+            Rl,
+            jax.vmap(so3_exp)(phi * jnp.asarray(a.reshape(-1))[:, None]),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return np.asarray(Rt).reshape(T, K, 3, 3), p
 
 

@@ -68,6 +68,10 @@ def main():
         events_kwargs["motion_blur"] = os.environ["STRESS_MOTION_BLUR"] == "1"
     if "STRESS_VIGNETTE" in os.environ:
         events_kwargs["vignette"] = float(os.environ["STRESS_VIGNETTE"])
+    if "STRESS_NOISE_READ" in os.environ:
+        events_kwargs["noise_read_dn"] = float(os.environ["STRESS_NOISE_READ"])
+    if "STRESS_NOISE_SHOT" in os.environ:
+        events_kwargs["noise_shot_gain"] = float(os.environ["STRESS_NOISE_SHOT"])
 
     gate = 0.13
     t0 = time.time()
