@@ -162,8 +162,14 @@ def make_stress_events(
     # noise+vignette; with the prefilter + compensated FAST threshold the
     # all-channels gate measures 0.0479 m (docs/STRESS_NOTES.md round 4).
     sensor_noise: bool = True,
-    noise_read_dn: float = 2.5,
-    noise_shot_gain: float = 0.06,
+    # Noise spec calibrated to a V1_01-class capture (MT9V034, good indoor
+    # lighting): sigma_total ~2.3 DN at mid-gray (~33 dB SNR).  The
+    # initial harsher spec (2.5 / 0.06, sigma ~3.4 DN — a dark-sequence
+    # gain level) is kept measured in docs/STRESS_NOTES.md: 130 s CPU
+    # gate 0.123 m vs 0.085 m at this spec; STRESS_NOISE_READ/SHOT
+    # override per run.
+    noise_read_dn: float = 1.5,
+    noise_shot_gain: float = 0.04,
     motion_blur: bool = True,
     vignette: float = 0.35,
     noise_seed: int = 0,
