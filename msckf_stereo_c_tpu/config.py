@@ -442,6 +442,8 @@ def load_frontend_config(path: str) -> FrontendConfig:
         stereo_lr_threshold=float(
             node.get("stereo_lr_threshold", base.stereo_lr_threshold)
         ),
+        presmooth=bool(node.get("presmooth", base.presmooth)),
+        cand_level1=bool(node.get("cand_level1", base.cand_level1)),
         stereo_lr_survivors=bool(
             node.get("stereo_lr_survivors", base.stereo_lr_survivors)
         ),
