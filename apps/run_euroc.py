@@ -134,9 +134,12 @@ def main():
     # producer/consumer pipeline (run_euroc_muitl_threads.cpp:30-90)
     # without its front-end/back-end race.
     c = args.chunk
-    src0 = ImageSource(files0, prefetch=max(c, 64))
-    src1 = ImageSource(files1, prefetch=max(c, 64))
-    for s0 in range(0, len(times), c):
+    # Context managers so an exception in the chunk loop cannot leak the
+    # native decoder threads; 3 threads per stream (two concurrent streams
+    # on a small host — decode stays ahead of the device at this depth).
+    with ImageSource(files0, prefetch=max(c, 64), threads=3) as src0, \
+         ImageSource(files1, prefetch=max(c, 64), threads=3) as src1:
+      for s0 in range(0, len(times), c):
         s1 = min(s0 + c, len(times))
         with timer.phase("decode_images"):
             imgs0 = src0.next(s1 - s0)
@@ -170,8 +173,6 @@ def main():
             viewer.publish(r.positions, frame=s1)
         el = time.time() - t_start
         print(f"  frames {s1}/{len(times)}  ({s1/el:.1f} fps cumulative)")
-    src0.close()
-    src1.close()
 
     import numpy as np
 

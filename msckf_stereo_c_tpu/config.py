@@ -206,6 +206,18 @@ class FrontendConfig:
     # exists there).  Active only with the corr/tmpl-carry configuration.
     anchor_refine: bool = True
     anchor_radius: float = 2.0
+    # Photometric normalization of the correlation-surface LK (klt_impl=
+    # 'corr' only).  'none' = raw brightness constancy (the reference's LK,
+    # vikit optical_flow_multi_level).  'zeromean' subtracts template and
+    # patch means (folds into the correlation surfaces — offset-invariant;
+    # exposure offset drift and vignette gradients stop biasing the solve).
+    # 'gain' additionally re-estimates a per-iteration photometric gain
+    # from one extra correlation surface (affine-photometric LK): the
+    # displacement estimate is exactly unbiased under patch = a*templ + b —
+    # the anchor-refinement and low-SNR-window bias mechanism identified in
+    # docs/STRESS_NOTES.md round 4.  Applies to every alignment problem in
+    # the corr path (temporal, stereo, anchor, LR round trip).
+    klt_norm: str = "none"
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob
@@ -218,6 +230,16 @@ class FrontendConfig:
 
     def __post_init__(self):
         _check_matmul_precision(self.matmul_precision)
+        if self.klt_norm not in ("none", "zeromean", "gain"):
+            raise ValueError(
+                f"klt_norm={self.klt_norm!r} is not one of "
+                "('none', 'zeromean', 'gain')"
+            )
+        if self.klt_norm != "none" and self.klt_impl != "corr":
+            raise ValueError(
+                f"klt_norm={self.klt_norm!r} requires klt_impl='corr' "
+                f"(got {self.klt_impl!r})"
+            )
 
     @property
     def num_grids(self) -> int:
@@ -420,6 +442,25 @@ def load_frontend_config(path: str) -> FrontendConfig:
     with open(path) as f:
         node = yaml.safe_load(f)
     base = FrontendConfig()
+    # The presmooth prefilter and the FAST threshold are coupled: the blur
+    # scales small-feature contrast ~0.7x, so presmooth=True pairs with the
+    # compensated threshold 7 while the reference's raw-pixel threshold 10
+    # pairs with presmooth=False (threshold 10 + presmooth was measured to
+    # lose ALL tracks in texture-poor+vignette windows — docs/STRESS_NOTES.md
+    # round 4).  A YAML that pins the reference's fast_threshold >= 10
+    # without taking a position on presmooth gets the raw-pixel pairing it
+    # implicitly asked for.
+    if "presmooth" not in node and int(node.get("fast_threshold", 0)) >= 10:
+        import warnings
+
+        warnings.warn(
+            f"{path}: fast_threshold={node['fast_threshold']} without an "
+            "explicit 'presmooth' key — defaulting presmooth to false (the "
+            "raw-pixel pairing). Set 'presmooth: true' with a lower "
+            "threshold (e.g. 7) for the sensor-noise prefilter.",
+            stacklevel=2,
+        )
+        base = dataclasses.replace(base, presmooth=False)
     return dataclasses.replace(
         base,
         matmul_precision=str(node.get("matmul_precision", base.matmul_precision)),
@@ -434,6 +475,7 @@ def load_frontend_config(path: str) -> FrontendConfig:
         ransac_threshold=float(node.get("ransac_threshold", base.ransac_threshold)),
         stereo_threshold=float(node.get("stereo_threshold", base.stereo_threshold)),
         klt_impl=str(node.get("klt_impl", base.klt_impl)),
+        klt_norm=str(node.get("klt_norm", base.klt_norm)),
         temporal_levels=int(node.get("temporal_levels", base.temporal_levels)),
         stereo_levels=int(node.get("stereo_levels", base.stereo_levels)),
         tmpl_carry=bool(node.get("tmpl_carry", base.tmpl_carry)),

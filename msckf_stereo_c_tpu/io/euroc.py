@@ -133,6 +133,7 @@ class ImageSource:
         width: int = 752,
         height: int = 480,
         prefetch: int = 128,
+        threads: int = 6,
     ):
         from . import native
 
@@ -143,7 +144,7 @@ class ImageSource:
         if native.available():
             self._stream = native.ImageStream(
                 self._files, width, height,
-                queue_depth=max(prefetch, 1), threads=6,
+                queue_depth=max(prefetch, 1), threads=threads,
             )
 
     def next(self, count: int) -> np.ndarray:

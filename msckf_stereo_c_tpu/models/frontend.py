@@ -43,13 +43,18 @@ _KLT_IMPLS = {
 }
 
 
-def _klt_fn(name: str):
+def _klt_fn(name: str, norm: str = "none"):
     try:
-        return _KLT_IMPLS[name]
+        fn = _KLT_IMPLS[name]
     except KeyError:
         raise ValueError(
             f"unknown klt_impl {name!r}; choose from {sorted(_KLT_IMPLS)}"
         ) from None
+    if name == "corr" and norm != "none":
+        import functools
+
+        fn = functools.partial(fn, norm=norm)
+    return fn
 
 
 class TrackerState(NamedTuple):
@@ -75,6 +80,11 @@ class TrackerState(NamedTuple):
     # track's life — the drift-free reference for anchor refinement
     # (FrontendConfig.anchor_refine).
     anchor: jnp.ndarray
+    # Per-track template minimum gradient eigenvalue per pixel from the
+    # latest stereo match (the KLT localization-SNR proxy; 0 = unknown).
+    # Published as FrameOutput.quality for the filter's SNR-adaptive
+    # observation noise (FilterConfig.noise_adaptive).
+    snr: jnp.ndarray
 
 
 class FrontendParams(NamedTuple):
@@ -106,6 +116,10 @@ class FrameOutput(NamedTuple):
     # NamedTuple default would be materialized as a device constant at
     # import time, before any jax.config the caller might set.
     anchor_accepted: jnp.ndarray
+    # (N,) per-track tracking-SNR proxy (template min gradient eigenvalue
+    # per pixel; 0 = unknown/neutral) for the filter's SNR-adaptive
+    # observation noise.
+    quality: jnp.ndarray
 
 
 def make_frontend_params(calib: StereoCalib, dtype=jnp.float32) -> FrontendParams:
@@ -144,6 +158,7 @@ def init_tracker_state(cfg: FrontendConfig, dtype=jnp.float32) -> TrackerState:
         tmpl=jnp.zeros((N, q, q), dtype),
         depth=jnp.zeros((N,), dtype),
         anchor=jnp.zeros((N, q, q), dtype),
+        snr=jnp.zeros((N,), dtype),
     )
 
 
@@ -277,7 +292,7 @@ def _stereo_match_merged(
      (cand_pts1, cand_ok, cand_depth), (surv_tmpl, cand_tmpl), n_anchor)
     where pts0_surv are the (possibly anchor-refined) cam0 positions."""
     H, W = img_shape
-    klt = _klt_fn(cfg.klt_impl)
+    klt = _klt_fn(cfg.klt_impl, cfg.klt_norm)
 
     # Candidate initial guess: rotate cam0 rays by R_c0_c1 into cam1.
     xn = undistort_points(cand_xy, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
@@ -313,14 +328,16 @@ def _stereo_match_merged(
     valid = jnp.concatenate([surv_valid, cand_valid], axis=0)
     sp_all = None
     rt2 = None
+    me_all = None
     n_anchor = jnp.zeros((), jnp.int32)
     if _fused_stereo_active(cfg, img_shape):
-        pts0, acc, res, rt2, sp_all = stereo_anchor_lr_fused(
+        pts0, acc, res, rt2, sp_all, me_all = stereo_anchor_lr_fused(
             pyr0[0], pyr1[0], pts0, guess, valid,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
             anchor_sp=anchor_sp,
             anchor_valid=surv_valid if anchor_sp is not None else None,
             anchor_radius=cfg.anchor_radius,
+            norm=cfg.klt_norm,
         )
         if acc is not None:
             n_anchor = jnp.sum(acc).astype(jnp.int32)
@@ -330,7 +347,7 @@ def _stereo_match_merged(
         res, sp_all = optical_flow_lk_corr_l0(
             pyr0[0], pyr1[0], pts0, guess, valid,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            want_tmpl=True,
+            want_tmpl=True, norm=cfg.klt_norm,
         )
     else:
         res = klt(
@@ -403,11 +420,13 @@ def _stereo_match_merged(
         ok = jnp.concatenate([ok[:lo], ok_lr], axis=0)
 
     tmpl = (None, None) if sp_all is None else (sp_all[:n_surv], sp_all[n_surv:])
+    me = (None, None) if me_all is None else (me_all[:n_surv], me_all[n_surv:])
     return (
         (pts0[:n_surv], pts1[:n_surv], ok[:n_surv], depth[:n_surv]),
         (pts1[n_surv:], ok[n_surv:], depth[n_surv:]),
         tmpl,
         n_anchor,
+        me,
     )
 
 
@@ -422,6 +441,7 @@ def _allocate_new_features(
     fill_to: int,
     cand_tmpl: jnp.ndarray | None = None,
     cand_depth: jnp.ndarray | None = None,
+    cand_snr: jnp.ndarray | None = None,
 ):
     """Fill under-populated grids with stereo-matched candidates (reference
     addNewFeatures / initializeFirstFrame fill, image_processor.cpp:735-750).
@@ -468,11 +488,15 @@ def _allocate_new_features(
         # The candidate's interpolated stereo template IS its birth-time
         # appearance at its birth position — the anchor.
         anchor = anchor.at[target].set(cand_tmpl.astype(anchor.dtype), mode="drop")
+    snr = state.snr
+    if cand_snr is not None:
+        snr = snr.at[target].set(cand_snr.astype(snr.dtype), mode="drop")
     n_added = jnp.sum(accept & (acc_rank < n_free)).astype(jnp.int32)
 
     return state._replace(
         pts0=pts0, pts1=pts1, fid=fid, lifetime=lifetime, response=response,
         next_fid=state.next_fid + n_added, tmpl=tmpl, depth=depth, anchor=anchor,
+        snr=snr,
     )
 
 
@@ -574,7 +598,7 @@ def _frontend_step_impl(
         depth_ratio = jnp.clip(z0 / zc, 0.5, 2.0)
 
     active = state.fid >= 0
-    klt = _klt_fn(cfg.klt_impl)
+    klt = _klt_fn(cfg.klt_impl, cfg.klt_norm)
     tl = max(1, min(cfg.temporal_levels, len(pyr0_prev)))
     if _tmpl_carry_active(cfg):
         # The carried patches are bit-identical to what extraction at
@@ -583,7 +607,7 @@ def _frontend_step_impl(
         res, _ = optical_flow_lk_corr_l0(
             pyr0_prev[0], pyr0_curr[0], state.pts0, guess, active,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            tmpl_sp=state.tmpl,
+            tmpl_sp=state.tmpl, norm=cfg.klt_norm,
         )
     else:
         res = klt(
@@ -608,7 +632,7 @@ def _frontend_step_impl(
         res_a, _ = optical_flow_lk_corr_l0(
             pyr0_curr[0], pyr0_curr[0], tracked_pts0, tracked_pts0, tracked,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            tmpl_sp=state.anchor,
+            tmpl_sp=state.anchor, norm=cfg.klt_norm,
         )
         corr2 = jnp.sum((res_a.pts - tracked_pts0) ** 2, axis=1)
         accept = tracked & res_a.valid & (corr2 <= cfg.anchor_radius**2)
@@ -637,6 +661,7 @@ def _frontend_step_impl(
         (cand_pts1, cand_ok, cand_depth),
         (surv_tmpl, cand_tmpl),
         n_anchor_fused,
+        (surv_snr, cand_snr),
     ) = _stereo_match_merged(
         pyr0_curr, pyr1_curr, tracked_pts0, disparity_guess, tracked,
         cand_xy, cand_valid, params, cfg, img_shape,
@@ -671,12 +696,16 @@ def _frontend_step_impl(
         tmpl=state.tmpl if surv_tmpl is None else jnp.where(
             surv[:, None, None], surv_tmpl.astype(state.tmpl.dtype), state.tmpl
         ),
+        snr=state.snr if surv_snr is None else jnp.where(
+            surv, surv_snr.astype(state.snr.dtype), jnp.zeros_like(state.snr)
+        ),
     )
 
     # --- Fill under-populated grids with matched candidates; prune. ---
     state = _allocate_new_features(
         state, cand_xy, cand_score, cand_pts1, cand_ok, cfg, img_shape,
         cfg.grid_min_feature_num, cand_tmpl=cand_tmpl, cand_depth=cand_depth,
+        cand_snr=cand_snr,
     )
     state = _prune_grid_features(state, cfg, img_shape)
 
@@ -688,6 +717,7 @@ def _frontend_step_impl(
         after_matching=after_matching,
         after_ransac=jnp.sum(valid),
         anchor_accepted=n_anchor,
+        quality=state.snr,
     )
     return state, out
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import functools as _functools
 import os as _os
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -53,14 +53,19 @@ from .patch_extract import extract_patches_pallas
 _LOOP_MODE = _os.environ.get("MSCKF_KLT_CORR_LOOP", "auto")
 
 
-def _corr_surfaces(spatch: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, P: int):
-    """(N, K, K) cross-correlations of gx/gy with each search patch.
+def _corr_surfaces(spatch: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, P: int,
+                   extra=()):
+    """(N, K, K) cross-correlations of gx/gy (+ optional extra per-feature
+    filters) with each search patch.
 
-    Depthwise conv: each feature is a channel, with two filters (gx, gy).
+    Depthwise conv: each feature is a channel, with F filters per channel
+    ((gx, gy) + extras).  Returns a tuple of F surfaces.
     """
     N, S, _ = spatch.shape
+    filters = (gx, gy) + tuple(extra)
+    F = len(filters)
     lhs = spatch[None]  # (1, N, S, S)  NCHW
-    rhs = jnp.stack([gx, gy], axis=1).reshape(2 * N, 1, P, P)  # OIHW
+    rhs = jnp.stack(filters, axis=1).reshape(F * N, 1, P, P)  # OIHW
     out = jax.lax.conv_general_dilated(
         lhs,
         rhs,
@@ -69,10 +74,12 @@ def _corr_surfaces(spatch: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray, P: int
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=N,
         preferred_element_type=spatch.dtype,
-    )  # (1, 2N, K, K)
+    )  # (1, FN, K, K)
     K = S - P + 1
-    out = out.reshape(N, 2, K, K)
-    return out[:, 0], out[:, 1]
+    out = out.reshape(N, F, K, K)
+    if F == 2:
+        return out[:, 0], out[:, 1]
+    return tuple(out[:, i] for i in range(F))
 
 
 def _iter_kernel_factory(KK_pad: int, K: int, iters: int, eps: float, hi: float):
@@ -134,6 +141,117 @@ def _iter_kernel_factory(KK_pad: int, K: int, iters: int, eps: float, hi: float)
     return kernel
 
 
+def _iter_kernel_factory_gain(KK_pad: int, K: int, iters: int, eps: float, hi: float):
+    """Affine-photometric variant of ``_iter_kernel_factory``: per iteration
+    the residual correlations (bx, by, bt) feed the displacement rows of the
+    precomputed bordered-inverse (translation + gain), so a gain/offset
+    mismatch between template and patch is absorbed by the (discarded) gain
+    unknown instead of biasing the displacement.  Same loop structure,
+    convergence test and lane-padding safety as the translation kernel."""
+
+    def kernel(sc_ref, cx_ref, cy_ref, ct_ref, out_ref):
+        f32 = jnp.float32
+        uv = jax.lax.broadcasted_iota(jnp.int32, (1, KK_pad), 1)
+        U = (uv // K).astype(f32)
+        V = (uv % K).astype(f32)
+
+        B00 = sc_ref[:, 0:1]
+        B01 = sc_ref[:, 1:2]
+        B02 = sc_ref[:, 2:3]
+        B10 = sc_ref[:, 3:4]
+        B11 = sc_ref[:, 4:5]
+        B12 = sc_ref[:, 5:6]
+        tgx = sc_ref[:, 6:7]
+        tgy = sc_ref[:, 7:8]
+        st2 = sc_ref[:, 8:9]
+        f0x = sc_ref[:, 9:10]
+        f0y = sc_ref[:, 10:11]
+        conv0 = sc_ref[:, 11:12]
+
+        cx = cx_ref[:, :]
+        cy = cy_ref[:, :]
+        ct = ct_ref[:, :]
+
+        def cond(carry):
+            _, _, conv, it = carry
+            return (it < iters) & (jnp.min(conv) < 0.5)
+
+        def body(carry):
+            fx, fy, conv, it = carry
+            fxs = jnp.clip(fx, 0.0, hi)
+            fys = jnp.clip(fy, 0.0, hi)
+            w2 = jnp.maximum(0.0, 1.0 - jnp.abs(U - fys)) * jnp.maximum(
+                0.0, 1.0 - jnp.abs(V - fxs)
+            )
+            bx = tgx - jnp.sum(w2 * cx, axis=1, keepdims=True)
+            by = tgy - jnp.sum(w2 * cy, axis=1, keepdims=True)
+            bt = st2 - jnp.sum(w2 * ct, axis=1, keepdims=True)
+            dx = B00 * bx + B01 * by + B02 * bt
+            dy = B10 * bx + B11 * by + B12 * bt
+            nfx = jnp.clip(fx + dx, 0.0, hi)
+            nfy = jnp.clip(fy + dy, 0.0, hi)
+            now = (jnp.sqrt(dx * dx + dy * dy) < eps).astype(f32)
+            frozen = conv > 0.5
+            fx = jnp.where(frozen, fx, nfx)
+            fy = jnp.where(frozen, fy, nfy)
+            return (fx, fy, jnp.maximum(conv, now), it + 1)
+
+        fx, fy, _, _ = jax.lax.while_loop(
+            cond, body, (f0x, f0y, conv0, jnp.zeros((), jnp.int32))
+        )
+        out_ref[:, 0:1] = fx
+        out_ref[:, 1:2] = fy
+
+    return kernel
+
+
+@_functools.lru_cache(maxsize=None)
+def _iterate_fn_gain(K: int, iters: int, eps: float, hi: float, interpret: bool):
+    """Gain-mode analog of ``_iterate_fn``:
+    run(sc (N,16), cxf, cyf, ctf (N,K*K)) -> f (N,2)."""
+
+    @jax.custom_batching.custom_vmap
+    def run(sc, cxf, cyf, ctf):
+        N = sc.shape[0]
+        KK_pad = -(-(K * K) // 128) * 128
+        CHUNK = 512
+        Np = -(-N // 8) * 8 if N <= CHUNK else -(-N // CHUNK) * CHUNK
+        blk = min(Np, CHUNK)
+        if Np != N:
+            pad_sc = jnp.zeros((Np - N, 16), sc.dtype).at[:, 11].set(1.0)
+            sc = jnp.concatenate([sc, pad_sc], axis=0)
+        if KK_pad != K * K or Np != N:
+            cxf = jnp.pad(cxf, ((0, Np - N), (0, KK_pad - K * K)))
+            cyf = jnp.pad(cyf, ((0, Np - N), (0, KK_pad - K * K)))
+            ctf = jnp.pad(ctf, ((0, Np - N), (0, KK_pad - K * K)))
+        out = pl.pallas_call(
+            _iter_kernel_factory_gain(KK_pad, K, iters, eps, hi),
+            grid=(Np // blk,),
+            out_shape=jax.ShapeDtypeStruct((Np, 2), sc.dtype),
+            in_specs=[
+                pl.BlockSpec((blk, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, KK_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, KK_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((blk, KK_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((blk, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(sc, cxf, cyf, ctf)
+        return out[:N]
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, sc, cxf, cyf, ctf):
+        args = []
+        for x, b in zip((sc, cxf, cyf, ctf), in_batched):
+            if not b:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x.reshape((-1,) + x.shape[2:]))
+        out = run(*args)
+        return out.reshape(axis_size, -1, 2), True
+
+    return run
+
+
 @_functools.lru_cache(maxsize=None)
 def _iterate_fn(K: int, iters: int, eps: float, hi: float, interpret: bool):
     """Returns run(sc (N,8), cxf (N,K*K), cyf (N,K*K)) -> f (N,2).
@@ -185,16 +303,32 @@ def _iterate_fn(K: int, iters: int, eps: float, hi: float, interpret: bool):
     return run
 
 
-def _iterate_pallas(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, hi, interpret):
+def _iterate_pallas(Cx, Cy, Ct, tq, f0, conv0, iters, eps, hi, interpret):
     """Run the LK iterations as one kernel.  Returns f (N, 2)."""
     N, K, _ = Cx.shape
+    if Ct is not None:
+        B = tq.Binv
+        sc = jnp.stack(
+            [
+                B[:, 0, 0], B[:, 0, 1], B[:, 0, 2],
+                B[:, 1, 0], B[:, 1, 1], B[:, 1, 2],
+                tq.tgx, tq.tgy, tq.st2,
+                f0[:, 0], f0[:, 1], conv0.astype(Cx.dtype),
+            ],
+            axis=-1,
+        )  # (N, 12)
+        sc = jnp.pad(sc, ((0, 0), (0, 4)))  # (N, 16) lane-aligned
+        run = _iterate_fn_gain(K, iters, float(eps), float(hi), interpret)
+        return run(
+            sc, Cx.reshape(N, K * K), Cy.reshape(N, K * K), Ct.reshape(N, K * K)
+        )
     sc = jnp.stack(
         [
-            G[:, 0, 0],
-            G[:, 0, 1],
-            G[:, 1, 1],
-            tgx,
-            tgy,
+            tq.G[:, 0, 0],
+            tq.G[:, 0, 1],
+            tq.G[:, 1, 1],
+            tq.tgx,
+            tq.tgy,
             f0[:, 0],
             f0[:, 1],
             conv0.astype(Cx.dtype),
@@ -212,11 +346,50 @@ def _resolve_mode() -> str:
     return mode
 
 
-def _template_quantities(sp: jnp.ndarray, P: int):
+class TemplateQ(NamedTuple):
+    """Per-feature template quantities for one alignment problem.
+
+    ``tgx``/``tgy`` are already adjusted for the photometric normalization
+    (``norm``): raw template-gradient correlations for norm='none',
+    zero-meaned for 'zeromean'/'gain'.  Fields beyond ``tgy`` are None
+    except where the norm needs them."""
+
+    gx: jnp.ndarray  # (N, P, P) template x-gradient
+    gy: jnp.ndarray  # (N, P, P)
+    G: jnp.ndarray  # (N, 2, 2) normal matrix
+    good: jnp.ndarray  # (N,) min-eig quality gate
+    min_eig: jnp.ndarray  # (N,) per-pixel min eigenvalue of G (SNR proxy)
+    tgx: jnp.ndarray  # (N,)
+    tgy: jnp.ndarray  # (N,)
+    sgx: jnp.ndarray | None = None  # (N,) sum of gx (zeromean/gain)
+    sgy: jnp.ndarray | None = None
+    tmpl_c: jnp.ndarray | None = None  # (N, P, P) zero-meaned template (gain)
+    st2: jnp.ndarray | None = None  # (N,) sum (T - mean T)^2 (gain)
+    Binv: jnp.ndarray | None = None  # (N, 2, 3) displacement rows of the
+    # bordered (translation + gain) normal-matrix inverse (gain)
+
+
+def _template_quantities(sp: jnp.ndarray, P: int, norm: str = "none") -> TemplateQ:
     """Template gradients + normal matrix + quality from a (N, P+2, P+2)
     interpolated super-patch (shared by the temporal/stereo/anchor/backward
-    alignment problems).  Same expressions and order as the historical
-    inline block, so refactoring does not perturb numerics."""
+    alignment problems).  For norm='none' the expressions and order match
+    the historical inline block bit for bit.
+
+    norm='zeromean': the template correlation constants are computed on the
+    zero-meaned template, pairing with the mean-corrected correlation
+    surfaces of ``_surfaces_for_norm`` — the LK residual becomes invariant
+    to a brightness OFFSET between template and search patch (exposure
+    offset drift, vignetting gradients).
+
+    norm='gain': additionally solves the affine-photometric LK — unknowns
+    (dx, dy, dbeta) with the gain correction ``beta`` re-estimated each
+    iteration from one extra correlation surface (the zero-meaned template
+    itself as a filter).  Under patch = a*template + b the augmented system
+    is solved exactly by (0, 0, 1-a): the displacement estimate is UNBIASED
+    under any gain+offset mismatch (the mechanism behind the noise-locked
+    anchor bias and the low-SNR window drift, docs/STRESS_NOTES.md round 4).
+    A Tikhonov damp on the beta block keeps gradient-colinear (linear ramp)
+    templates from confounding gain with translation."""
     templ = sp[:, 1:-1, 1:-1]
     gx = 0.5 * (sp[:, 1:-1, 2:] - sp[:, 1:-1, :-2])
     gy = 0.5 * (sp[:, 2:, 1:-1] - sp[:, :-2, 1:-1])
@@ -233,17 +406,88 @@ def _template_quantities(sp: jnp.ndarray, P: int):
     good = min_eig > _MIN_EIG_THRESHOLD
     tgx = jnp.sum(templ * gx, (-2, -1))  # (N,)
     tgy = jnp.sum(templ * gy, (-2, -1))
-    return gx, gy, G, good, tgx, tgy
+    if norm == "none":
+        return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
+                         tgx=tgx, tgy=tgy)
+
+    n = float(P * P)
+    mt = jnp.mean(templ, (-2, -1))
+    sgx = jnp.sum(gx, (-2, -1))
+    sgy = jnp.sum(gy, (-2, -1))
+    tgx_c = tgx - mt * sgx
+    tgy_c = tgy - mt * sgy
+    if norm == "zeromean":
+        return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
+                         tgx=tgx_c, tgy=tgy_c, sgx=sgx, sgy=sgy)
+    if norm != "gain":
+        raise ValueError(f"unknown klt norm {norm!r}")
+
+    tmpl_c = templ - mt[:, None, None]
+    st2 = jnp.sum(tmpl_c * tmpl_c, (-2, -1))
+    # Bordered normal matrix A = [[G, h], [h^T, st2 + damp]] with
+    # h = (tgx_c, tgy_c); its Schur complement st2 - h^T G^-1 h vanishes
+    # when the template is a linear ramp (gain ~ translation confounded),
+    # so the beta block carries a 5 % relative Tikhonov damp.
+    damp = 0.05 * st2 + 1e-12
+    a22 = st2 + damp
+    # Closed-form inverse rows for the displacement block via cofactors.
+    detA = (
+        gxx * (gyy * a22 - tgy_c * tgy_c)
+        - gxy * (gxy * a22 - tgy_c * tgx_c)
+        + tgx_c * (gxy * tgy_c - gyy * tgx_c)
+    )
+    inv_detA = 1.0 / jnp.where(jnp.abs(detA) > 1e-30, detA, 1e-30)
+    B00 = (gyy * a22 - tgy_c * tgy_c) * inv_detA
+    B01 = (tgx_c * tgy_c - gxy * a22) * inv_detA
+    B02 = (gxy * tgy_c - gyy * tgx_c) * inv_detA
+    B11 = (gxx * a22 - tgx_c * tgx_c) * inv_detA
+    B12 = (gxy * tgx_c - gxx * tgy_c) * inv_detA
+    Binv = jnp.stack(
+        [jnp.stack([B00, B01, B02], -1), jnp.stack([B01, B11, B12], -1)], -2
+    )  # (N, 2, 3)
+    return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
+                     tgx=tgx_c, tgy=tgy_c, sgx=sgx, sgy=sgy,
+                     tmpl_c=tmpl_c, st2=st2, Binv=Binv)
 
 
-def _run_iterations(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, S, P, mode):
+def _surfaces_for_norm(spatch: jnp.ndarray, tq: TemplateQ, P: int, norm: str):
+    """Correlation surfaces for one alignment problem under ``norm``.
+
+    Returns (Cx, Cy, Ct): the (mean-corrected, for zeromean/gain) gradient
+    correlation surfaces, plus the template-correlation surface for 'gain'
+    (None otherwise).  The zero-mean correction folds into the surfaces by
+    linearity of bilinear sampling — Cx_zm = Cx - (sum gx / P^2) * C1 with
+    C1 the box-sum surface — so the iteration kernel for 'zeromean' is the
+    unmodified translation kernel."""
+    if norm == "none":
+        Cx, Cy = _corr_surfaces(spatch, tq.gx, tq.gy, P)
+        return Cx, Cy, None
+    n = float(P * P)
+    ones = jnp.ones_like(tq.gx)
+    if norm == "zeromean":
+        Cx, Cy, C1 = _corr_surfaces(spatch, tq.gx, tq.gy, P, extra=(ones,))
+        Cx = Cx - (tq.sgx / n)[:, None, None] * C1
+        Cy = Cy - (tq.sgy / n)[:, None, None] * C1
+        return Cx, Cy, None
+    # gain: one extra filter — the zero-meaned template.  Its own surface
+    # needs no mean correction (sum of tmpl_c is zero).
+    Cx, Cy, C1, Ct = _corr_surfaces(
+        spatch, tq.gx, tq.gy, P, extra=(ones, tq.tmpl_c)
+    )
+    Cx = Cx - (tq.sgx / n)[:, None, None] * C1
+    Cy = Cy - (tq.sgy / n)[:, None, None] * C1
+    return Cx, Cy, Ct
+
+
+def _run_iterations(Cx, Cy, Ct, tq, f0, conv0, iters, eps, S, P, mode):
     """LK iteration loop on precomputed correlation surfaces; returns the
     converged window-origin coordinates f (N, 2).  Pallas kernel on TPU,
     XLA while_loop elsewhere — identical semantics (see _iter_kernel_factory
-    and the historical inline loop)."""
+    and the historical inline loop).  ``Ct`` non-None selects the
+    affine-photometric (gain) solve."""
     if mode in ("pallas", "interpret"):
         return _iterate_pallas(
-            Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, float(S - P - 1),
+            Cx, Cy, Ct, tq, f0, conv0, iters, eps, float(S - P - 1),
             interpret=(mode == "interpret"),
         )
     dtype = Cx.dtype
@@ -251,6 +495,7 @@ def _run_iterations(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, S, P, mode):
     lo = jnp.asarray(0.0, dtype)
     hi = jnp.asarray(S - P - 1.0, dtype)
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(dtype)  # (1, K)
+    tgx, tgy, G = tq.tgx, tq.tgy, tq.G
 
     def cond(carry):
         _, converged, it = carry
@@ -265,7 +510,12 @@ def _run_iterations(Cx, Cy, G, tgx, tgy, f0, conv0, iters, eps, S, P, mode):
         w2 = wy[:, :, None] * wx[:, None, :]  # (N, K, K)
         bx = tgx - jnp.sum(w2 * Cx, (-2, -1))
         by = tgy - jnp.sum(w2 * Cy, (-2, -1))
-        delta = solve2x2(G, jnp.stack([bx, by], -1))
+        if Ct is not None:
+            bt = tq.st2 - jnp.sum(w2 * Ct, (-2, -1))
+            b3 = jnp.stack([bx, by, bt], -1)  # (N, 3)
+            delta = jnp.einsum("nij,nj->ni", tq.Binv, b3)
+        else:
+            delta = solve2x2(G, jnp.stack([bx, by], -1))
         # delta applies to the carried (possibly unclipped) f, then the
         # new iterate is clamped into the search range — klt_gemm order.
         new_f = jnp.clip(f + delta, lo, hi)
@@ -349,6 +599,7 @@ def stereo_anchor_lr_fused(
     anchor_sp: jnp.ndarray | None = None,
     anchor_valid: jnp.ndarray | None = None,
     anchor_radius: float = 2.0,
+    norm: str = "none",
 ):
     """Fused full-resolution stereo fine level: (optional) anchor-template
     refinement of ``pts0`` + forward LK img0->img1 + backward left-right
@@ -378,10 +629,14 @@ def stereo_anchor_lr_fused(
       call's extraction.
 
     ``anchor_sp``/``anchor_valid`` cover the first A lanes (the survivor
-    slice); remaining lanes pass through unrefined.  Returns
+    slice); remaining lanes pass through unrefined.  ``norm`` selects the
+    photometric normalization of every alignment problem in the call
+    (see ``_template_quantities``; 'none' is bit-identical to the
+    historical path).  Returns
     (pts0_out, anchor_accept (A,) bool, KltResult forward, rt2 (N,)
     round-trip squared error — +inf where the backward track is invalid,
-    sp forward templates (N, P+2, P+2)).
+    sp forward templates (N, P+2, P+2), min_eig (N,) forward-template
+    minimum gradient eigenvalue per pixel — the tracking-SNR proxy).
 
     Replaces the unfused stereoMatch + LR + anchor composition; reference
     anchor: image_processor.cpp:534-620 (single forward pass, no round
@@ -416,14 +671,14 @@ def stereo_anchor_lr_fused(
     accept = None
     if anchor_sp is not None:
         A = anchor_sp.shape[0]
-        gxa, gya, Ga, gooda, tgxa, tgya = _template_quantities(anchor_sp, P)
-        Cxa, Cya = _corr_surfaces(big0[:A], gxa, gya, P)
+        tqa = _template_quantities(anchor_sp, P, norm)
+        Cxa, Cya, Cta = _surfaces_for_norm(big0[:A], tqa, P, norm)
         f0a = pts0[:A] - c_off - sorg0[:A]
         fa = _run_iterations(
-            Cxa, Cya, Ga, tgxa, tgya, f0a, ~gooda, iters, eps, S, P, mode
+            Cxa, Cya, Cta, tqa, f0a, ~tqa.good, iters, eps, S, P, mode
         )
         pa = fa + c_off + sorg0[:A]
-        oka = gooda & _inb(pa) & _inb(pts0[:A])
+        oka = tqa.good & _inb(pa) & _inb(pts0[:A])
         corr2 = jnp.sum((pa - pts0[:A]) ** 2, axis=1)
         acc = anchor_valid & oka & (corr2 <= anchor_radius**2)
         accept = acc
@@ -431,7 +686,7 @@ def stereo_anchor_lr_fused(
 
     # --- Forward template at the refined positions (exact path).
     sp = _interp_template(img0, pts0_out, P, mode)
-    gx, gy, G, good, tgx, tgy = _template_quantities(sp, P)
+    tq = _template_quantities(sp, P, norm)
 
     # --- Forward search: one (S+2)-window extraction; the +-1 margins
     # contain the backward-template window at any in-range forward result.
@@ -442,11 +697,11 @@ def stereo_anchor_lr_fused(
     big1 = _extract_at_origins(img1, o1, Sb, mode)
     spatch = big1[:, 1 : 1 + S, 1 : 1 + S]
     so = o1 + 1.0
-    Cx, Cy = _corr_surfaces(spatch, gx, gy, P)
+    Cx, Cy, Ct = _surfaces_for_norm(spatch, tq, P, norm)
     f0 = guess2 - c_off - so
-    f = _run_iterations(Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, S, P, mode)
+    f = _run_iterations(Cx, Cy, Ct, tq, f0, ~tq.good, iters, eps, S, P, mode)
     pts1 = f + c_off + so
-    okf = good & _inb(pts1) & _inb(pts0_out)
+    okf = tq.good & _inb(pts1) & _inb(pts0_out)
     res = KltResult(pts=pts1, valid=valid_in & okf)
 
     # --- Backward round trip: template tent-interpolated from big1 at the
@@ -458,29 +713,30 @@ def stereo_anchor_lr_fused(
     sp_b = _sample(
         _tent_weights(ob[:, 1], q, Sb, dtype), big1, _tent_weights(ob[:, 0], q, Sb, dtype)
     )
-    gxb, gyb, Gb, goodb, tgxb, tgyb = _template_quantities(sp_b, P)
-    Cxb, Cyb = _corr_surfaces(big0, gxb, gyb, P)
+    tqb = _template_quantities(sp_b, P, norm)
+    Cxb, Cyb, Ctb = _surfaces_for_norm(big0, tqb, P, norm)
     f0b = pts0_out - c_off - sorg0
     fb = _run_iterations(
-        Cxb, Cyb, Gb, tgxb, tgyb, f0b, ~goodb, iters, eps, S, P, mode
+        Cxb, Cyb, Ctb, tqb, f0b, ~tqb.good, iters, eps, S, P, mode
     )
     rt = fb + c_off + sorg0
-    okb = goodb & _inb(rt) & _inb(pts1)
+    okb = tqb.good & _inb(rt) & _inb(pts1)
     rt2 = jnp.where(okb, jnp.sum((rt - pts0_out) ** 2, axis=1), jnp.inf)
 
-    return pts0_out, accept, res, rt2, sp
+    return pts0_out, accept, res, rt2, sp, tq.min_eig
 
 
 def _track_level_corr(
     img_prev, img_curr, pts_prev, pts_curr0, win, iters, eps, final_level,
-    tmpl_sp=None, want_tmpl=False,
+    tmpl_sp=None, want_tmpl=False, norm="none",
 ):
     """One pyramid level for all N features (batched).
 
     ``tmpl_sp``: optional precomputed (N, P+2, P+2) interpolated template
     patches (as produced by a previous call with ``want_tmpl=True`` at the
     same (image, position) pairs) — skips template extraction entirely.
-    With ``want_tmpl=True`` the return gains the template patches."""
+    With ``want_tmpl=True`` the return gains the template patches.
+    ``norm``: photometric normalization (see _template_quantities)."""
     dtype = img_prev.dtype
     H, W = img_prev.shape
     P = win
@@ -493,14 +749,14 @@ def _track_level_corr(
         out = pts_curr0, jnp.ones(pts_curr0.shape[0], bool)
         return out + (tmpl_sp,) if want_tmpl else out
     sp = tmpl_sp if tmpl_sp is not None else _interp_template(img_prev, pts_prev, P, mode)
-    gx, gy, G, good, tgx, tgy = _template_quantities(sp, P)
+    tq = _template_quantities(sp, P, norm)
 
     # --- Search patch around the initial guess + correlation surfaces.
     sorg = jnp.clip(
         jnp.floor(pts_curr0) - (S // 2), 0, jnp.array([W - S, H - S], dtype)
     )
     spatch = _extract_at_origins(img_curr, sorg, S, mode)
-    Cx, Cy = _corr_surfaces(spatch, gx, gy, P)  # (N, K, K)
+    Cx, Cy, Ct = _surfaces_for_norm(spatch, tq, P, norm)  # (N, K, K)
 
     # Window-origin coordinates: f = pts - (P-1)/2 - sorg.  Carried
     # *unclipped* (matching klt_gemm: the initial guess may sit outside the
@@ -508,9 +764,10 @@ def _track_level_corr(
     # re-enters the range).
     c_off = (P - 1) / 2.0
     f0 = pts_curr0 - c_off - sorg  # (N, 2) [fx, fy]
-    f = _run_iterations(Cx, Cy, G, tgx, tgy, f0, ~good, iters, eps, S, P, mode)
+    f = _run_iterations(Cx, Cy, Ct, tq, f0, ~tq.good, iters, eps, S, P, mode)
     pts = f + c_off + sorg
 
+    good = tq.good
     if not final_level:
         ok = jnp.ones(pts.shape[0], bool)
     else:
@@ -533,6 +790,7 @@ def optical_flow_lk_corr_l0(
     eps: float = 0.01,
     tmpl_sp: jnp.ndarray | None = None,
     want_tmpl: bool = False,
+    norm: str = "none",
 ):
     """Single-level LK with template reuse: ``tmpl_sp`` (N, win+2, win+2)
     skips template extraction (the patches must come from a previous
@@ -542,7 +800,7 @@ def optical_flow_lk_corr_l0(
     Returns (KltResult, templates or None)."""
     out = _track_level_corr(
         img_prev, img_curr, pts_prev, pts_curr_init, win, iters, eps, True,
-        tmpl_sp=tmpl_sp, want_tmpl=True,
+        tmpl_sp=tmpl_sp, want_tmpl=True, norm=norm,
     )
     pts, ok, sp = out
     res = KltResult(pts=pts, valid=valid_in & ok)
@@ -558,6 +816,7 @@ def optical_flow_pyr_lk_corr(
     win: int = 15,
     iters: int = 30,
     eps: float = 0.01,
+    norm: str = "none",
 ) -> KltResult:
     """Drop-in replacement for klt.optical_flow_pyr_lk (same semantics)."""
     L = len(pyr_prev)
@@ -568,7 +827,8 @@ def optical_flow_pyr_lk_corr(
     for lvl in range(L - 1, -1, -1):
         s = 2.0**lvl
         pts, ok = _track_level_corr(
-            pyr_prev[lvl], pyr_curr[lvl], pts_prev / s, pts, win, iters, eps, lvl == 0
+            pyr_prev[lvl], pyr_curr[lvl], pts_prev / s, pts, win, iters, eps, lvl == 0,
+            norm=norm,
         )
         valid = valid & ok
         if lvl > 0:

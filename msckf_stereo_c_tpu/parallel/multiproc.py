@@ -395,6 +395,12 @@ def _worker_ba(args) -> None:
     mesh = global_mesh("map")
     prob = ba_problem()
     L = prob.landmarks.shape[0]
+    # The per-process feed below covers exactly L/P landmarks each; a
+    # remainder would silently disagree with the global sharded shape
+    # (mirrors the contiguity assert in process_lane_range).
+    assert L % jax.process_count() == 0, (
+        f"landmark count {L} not divisible by process count {jax.process_count()}"
+    )
     lo_l = L // jax.process_count() * jax.process_index()
     hi_l = L // jax.process_count() * (jax.process_index() + 1)
 

@@ -185,8 +185,9 @@ def make_stress_events(
     * whole run: slow sinusoidal exposure drift (gain 1 +/- 0.25, offset
       +/- 12 intensity units) plus a linear darkening trend;
     * whole run (round 4, VERDICT #4): per-pixel sensor noise (read sigma
-      ~2.5 DN + shot variance 0.06*I -> sigma ~3.6 DN at the 120 DN blob
-      peaks), full-exposure motion blur (the 3-tap true-trajectory average
+      ~1.5 DN + shot variance 0.04*I -> sigma ~2.6 DN at the 120 DN blob
+      peaks; V1_01-calibrated defaults — see the parameter comment above),
+      full-exposure motion blur (the 3-tap true-trajectory average
       — ~4-9 px of smear at the scene's 1-2 rad/s peak rates), and 35 %
       corner vignetting.
     """

@@ -65,7 +65,7 @@ def run_variant(name):
     fe._allocate_new_features = _orig_alloc
     fe._publish = _orig_publish
     if name == "noklt":
-        fe._klt_fn = lambda impl: identity_klt
+        fe._klt_fn = lambda impl, norm="none": identity_klt
     elif name == "nostereo":
         fe._stereo_match_merged = (
             lambda pyr0, pyr1, pts_surv, surv_guess, surv_valid, cand_xy, cand_valid, params, cfg, shape, anchor_sp=None: (
@@ -74,6 +74,7 @@ def run_variant(name):
                 (cand_xy, cand_valid, jnp.zeros(cand_valid.shape, cand_xy.dtype)),
                 (None, None),
                 jnp.zeros((), jnp.int32),
+                (None, None),
             )
         )
     elif name == "noadd":

@@ -26,7 +26,11 @@ def main():
         frontend_step, init_tracker_state, make_frontend_params, pyramids_for,
     )
     from msckf_stereo_c_tpu.models.runner import pack_imu_batches
-    from msckf_stereo_c_tpu.sim.render_jax import JaxRenderer, StressEvents
+    from msckf_stereo_c_tpu.sim.render_jax import (
+        JaxRenderer,
+        StressEvents,
+        make_stress_events,
+    )
     from msckf_stereo_c_tpu.sim.trajectory import (
         make_circle_trajectory, make_wall_landmarks, synthesize_imu,
     )
@@ -111,8 +115,13 @@ def main():
         # PROBE_BLUR=1 turn on the realism channels frame-aligned with the
         # absolute index (noise identical to the gate's draw at seed 0).
         if os.environ.get("PROBE_NOISE", "0") == "1":
-            ev.noise_read = np.full(s1 - s0, 2.5)
-            ev.noise_shot = np.full(s1 - s0, 0.06)
+            # Match the gate's current default noise spec (the
+            # make_stress_events signature is the single source of truth).
+            import inspect
+
+            _ev_defaults = inspect.signature(make_stress_events).parameters
+            ev.noise_read = np.full(s1 - s0, _ev_defaults["noise_read_dn"].default)
+            ev.noise_shot = np.full(s1 - s0, _ev_defaults["noise_shot_gain"].default)
             ev.noise_frame0 = s0
         if float(os.environ.get("PROBE_VIG", "0")) > 0:
             ev.vignette = np.full(s1 - s0, float(os.environ["PROBE_VIG"]))

@@ -66,7 +66,7 @@ def test_fused_forward_bit_identical_no_anchor():
         )
     )(img0, img1, pts0, guess, valid)
 
-    pts0_out, acc, res, rt2, sp = jax.jit(
+    pts0_out, acc, res, rt2, sp, _me = jax.jit(
         lambda a, b, p, g, v: stereo_anchor_lr_fused(
             a, b, p, g, v, win=15, iters=30, eps=0.01
         )
@@ -136,7 +136,7 @@ def test_fused_anchor_matches_unfused_composition():
     acc_ref = valid & res_a.valid & (corr2 <= 2.0**2)
     pts_ref = jnp.where(acc_ref[:, None], res_a.pts, pts_drifted)
 
-    pts0_out, acc, res, rt2, sp = jax.jit(
+    pts0_out, acc, res, rt2, sp, _me = jax.jit(
         lambda a, b, p, g, v, sp_a: stereo_anchor_lr_fused(
             a, b, p, g, v, win=15, iters=30, eps=0.01,
             anchor_sp=sp_a, anchor_valid=v, anchor_radius=2.0,
@@ -190,9 +190,9 @@ def test_stereo_lr_survivors_scope(survivors):
         )()
 
     base = dataclasses.replace(cfg, stereo_lr_survivors=survivors)
-    (s_pts0, s_pts1, s_ok, _), (c_pts1, c_ok, _), _, _ = run(base)
+    (s_pts0, s_pts1, s_ok, _), (c_pts1, c_ok, _), _, _, _ = run(base)
     nolr = dataclasses.replace(cfg, stereo_lr_threshold=0.0)
-    (_, n_pts1, n_ok, _), (nc_pts1, nc_ok, _), _, _ = run(nolr)
+    (_, n_pts1, n_ok, _), (nc_pts1, nc_ok, _), _, _, _ = run(nolr)
 
     # Forward geometry identical with the gate on or off.
     np.testing.assert_allclose(
@@ -237,8 +237,8 @@ def test_fused_merged_matches_legacy_merged():
                 fe._fused_stereo_active = orig
         return out
 
-    (f_pts0, f_pts1, f_ok, f_depth), (fc_pts1, fc_ok, _), (f_tmpl, _), _ = run(False)
-    (l_pts0, l_pts1, l_ok, l_depth), (lc_pts1, lc_ok, _), (l_tmpl, _), _ = run(True)
+    (f_pts0, f_pts1, f_ok, f_depth), (fc_pts1, fc_ok, _), (f_tmpl, _), _, _ = run(False)
+    (l_pts0, l_pts1, l_ok, l_depth), (lc_pts1, lc_ok, _), (l_tmpl, _), _, _ = run(True)
 
     np.testing.assert_array_equal(np.asarray(f_pts0), np.asarray(l_pts0))
     np.testing.assert_array_equal(np.asarray(f_pts1), np.asarray(l_pts1))
