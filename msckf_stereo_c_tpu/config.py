@@ -289,6 +289,21 @@ class FilterConfig:
     # stressed runs is ~3e2 (scripts-measured), and fast-motion ATE is
     # identical at 8/10/14 iterations.
     ns_iters: int = 0
+    # SNR-adaptive observation noise (no reference equivalent — the
+    # reference's observation_noise is one static scalar, msckf_vio.cpp:44).
+    # When on, each track's measurement noise VARIANCE is inflated by
+    # clip(noise_snr_ref / q, 1, noise_inflation_cap), where q is the
+    # track's mean frontend-published template min-eig (FrameOutput.quality;
+    # the CRLB of KLT localization scales as sigma_px^2 ~ sigma_noise^2 /
+    # min_eig).  Weak-texture tracks — exactly the low-SNR-window population
+    # whose noise^2/signal^2 sub-pixel bias drives long-horizon drift
+    # (docs/STRESS_NOTES.md round 4) — are downweighted instead of entering
+    # the EKF at full weight.  Implemented as sqrt-weight scaling of the
+    # per-track Jacobian blocks, exactly equivalent to per-track R = c*I;
+    # tracks with unknown quality (non-corr frontends) keep the base noise.
+    noise_adaptive: bool = False
+    noise_snr_ref: float = 40.0
+    noise_inflation_cap: float = 16.0
     # MXU precision for all filter-side matmuls.  "float32" (6-pass exact
     # f32, the default) fixed both the absolute accuracy loss and the
     # batch-tiling-dependent ATE of the MXU's bf16-pass default (see
@@ -527,4 +542,9 @@ def load_filter_config(path: str, base: FilterConfig | None = None) -> FilterCon
         ns_iters=int(node.get("ns_iters", base.ns_iters)),
         max_update_tracks=int(node.get("max_update_tracks", base.max_update_tracks)),
         matmul_precision=str(node.get("matmul_precision", base.matmul_precision)),
+        noise_adaptive=bool(node.get("noise_adaptive", base.noise_adaptive)),
+        noise_snr_ref=float(node.get("noise_snr_ref", base.noise_snr_ref)),
+        noise_inflation_cap=float(
+            node.get("noise_inflation_cap", base.noise_inflation_cap)
+        ),
     )

@@ -93,12 +93,16 @@ def add_feature_observations(
     fid: jnp.ndarray,  # (F,) int32 feature ids from the frontend
     uv: jnp.ndarray,  # (F, 4) normalized [u0, v0, u1, v1]
     valid: jnp.ndarray,  # (F,) bool
+    quality: jnp.ndarray | None = None,  # (F,) tracking-SNR proxy (0=unknown)
 ) -> FilterState:
     """Upsert this frame's stereo observations into the track pool and
     compute the tracking rate (reference addFeatureObservations)."""
     tracks = state.tracks
     K = tracks.fid.shape[0]
     slot = state.num_cams - 1  # observations attach to the newest cam slot
+    if quality is None:
+        quality = jnp.zeros(fid.shape, tracks.quality.dtype)
+    quality = quality.astype(tracks.quality.dtype)
 
     pool_active = tracks.fid >= 0
     curr_feature_num = jnp.sum(pool_active)
@@ -114,6 +118,9 @@ def add_feature_observations(
     )
     obs_valid = tracks.obs_valid.at[:, slot].set(
         jnp.where(matched_track, True, tracks.obs_valid[:, slot])
+    )
+    qual = tracks.quality.at[:, slot].set(
+        jnp.where(matched_track, quality[src], tracks.quality[:, slot])
     )
 
     # --- Allocate new tracks for unmatched features. ---
@@ -136,6 +143,7 @@ def add_feature_observations(
     new_fid = tracks.fid.at[target].set(fid, mode="drop")
     obs = obs.at[target, slot, :].set(uv, mode="drop")
     obs_valid = obs_valid.at[target, slot].set(True, mode="drop")
+    qual = qual.at[target, slot].set(quality, mode="drop")
     initialized = tracks.initialized.at[target].set(False, mode="drop")
     pos = tracks.pos.at[target].set(jnp.zeros_like(uv[:, :3]), mode="drop")
 
@@ -145,6 +153,7 @@ def add_feature_observations(
     )
 
     tracks = tracks._replace(
-        fid=new_fid, obs=obs, obs_valid=obs_valid, initialized=initialized, pos=pos
+        fid=new_fid, obs=obs, obs_valid=obs_valid, initialized=initialized, pos=pos,
+        quality=qual,
     )
     return state._replace(tracks=tracks, tracking_rate=tracking_rate)

@@ -43,6 +43,10 @@ class FrameFeatures(NamedTuple):
     fid: jnp.ndarray  # (F,) int32
     uv: jnp.ndarray  # (F, 4) normalized [u0, v0, u1, v1]
     valid: jnp.ndarray  # (F,) bool
+    # (F,) per-track tracking-SNR proxy (template min-eig; 0 = unknown) for
+    # the SNR-adaptive observation noise.  None = all-unknown (kept optional
+    # so synthetic-track tests and external feeders need no change).
+    quality: jnp.ndarray | None = None
 
 
 class MsckfParams(NamedTuple):
@@ -95,6 +99,29 @@ def make_params(cfg: FilterConfig, calib: StereoCalib, dtype=jnp.float64) -> Msc
     )
 
 
+def _snr_weights(quality: jnp.ndarray, obs_mask: jnp.ndarray, cfg: FilterConfig):
+    """Per-track EKF weight w = sigma2_base / sigma2_track for the
+    SNR-adaptive observation noise (FilterConfig.noise_adaptive).
+
+    ``quality``: (Kc, Ms) per-observation template min-eig (0 = unknown);
+    ``obs_mask``: which observations belong to the track.  The track's noise
+    variance inflates by clip(ref / mean_quality, 1, cap); unknown-quality
+    tracks keep the base noise.  Returns (Kc,) weights in (0, 1]."""
+    q = jnp.where(obs_mask & (quality > 0), quality, 0.0)
+    cnt = jnp.sum(q > 0, axis=1)
+    qmean = jnp.sum(q, axis=1) / jnp.maximum(cnt, 1).astype(q.dtype)
+    infl = jnp.where(
+        qmean > 0,
+        jnp.clip(
+            cfg.noise_snr_ref / jnp.maximum(qmean, 1e-12),
+            1.0,
+            cfg.noise_inflation_cap,
+        ),
+        1.0,
+    )
+    return 1.0 / infl
+
+
 def _gate_and_update(
     state: FilterState,
     params: MsckfParams,
@@ -107,6 +134,7 @@ def _gate_and_update(
     max_update: int = 0,
     cam_idx=None,
     ns_iters: int = 0,
+    w=None,
 ) -> FilterState:
     """Chi-square gate + compressed EKF update over the selected tracks.
 
@@ -126,7 +154,13 @@ def _gate_and_update(
     ``cam_idx`` (schur only): (Mc,) camera slots when every used
     observation lives in those slots (the 2-slot prune update).  The whole
     gate+update then runs camera-compacted — (4Mc, 4Mc) gating systems and
-    a rank-6Mc EKF update — exactly equivalent to the full-width path."""
+    a rank-6Mc EKF update — exactly equivalent to the full-width path.
+
+    ``w`` (optional, (K,)): per-track noise weights from ``_snr_weights``.
+    Scaling the track's Jacobian blocks and residuals by sqrt(w) makes the
+    base-sigma2 formulas below EXACTLY the per-track-noise gating/update
+    (w * (H P H^T) + s2 I = w * (H P H^T + (s2/w) I), and the nullspace
+    basis / information accumulation are scale-covariant)."""
     if max_update and max_update < use.shape[0]:
         order = jnp.argsort(~use)  # stable: selected tracks first
         idx = order[:max_update]
@@ -135,6 +169,8 @@ def _gate_and_update(
         obs_mask = obs_mask[idx]
         use = use[idx]
         dof = dof[idx]
+        if w is not None:
+            w = w[idx]
 
     if method == "schur":
         cams = state.cams
@@ -147,6 +183,13 @@ def _gate_and_update(
             pos, obs, obs_mask, cams, state.gravity,
             params.R_c0_c1, params.t_c0_c1,
         )
+        if w is not None:
+            sw = jnp.sqrt(w).astype(blocks.H_x.dtype)
+            blocks = blocks._replace(
+                H_x=blocks.H_x * sw[:, None, None, None],
+                H_f=blocks.H_f * sw[:, None, None, None],
+                r=blocks.r * sw[:, None, None],
+            )
         if cam_idx is not None:
             Pc = cam_cov_blocks(state.P, cam_idx)
             gamma = schur_gating_compact(blocks, Pc, params.sigma2, ns_iters)
@@ -162,6 +205,11 @@ def _gate_and_update(
         pos, obs, obs_mask, state.cams, state.gravity,
         params.R_c0_c1, params.t_c0_c1,
     )
+    if w is not None:
+        sw = jnp.sqrt(w).astype(jacs.H_o.dtype)
+        jacs = jacs._replace(
+            H_o=jacs.H_o * sw[:, None, None], r_o=jacs.r_o * sw[:, None]
+        )
     gamma = gating_scores(jacs, state.P, params.sigma2)
     use = use & (gamma < params.chi2_table[dof])
     return measurement_update(state, jacs, use, params.sigma2, method=method)
@@ -221,15 +269,18 @@ def _lost_candidates(state: FilterState, params: MsckfParams, max_update: int = 
     return idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates
 
 
-def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
+def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0, cfg: FilterConfig | None = None) -> FilterState:
     """Triangulate + update with tracks that lost tracking this frame
     (reference removeLostFeatures, msckf_vio.cpp:937-1024)."""
     idx, obs_c, obs_valid_c, use, dof, pos, drop_only, candidates = _lost_candidates(
         state, params, max_update
     )
+    w = None
+    if cfg is not None and cfg.noise_adaptive:
+        w = _snr_weights(state.tracks.quality[idx], obs_valid_c, cfg)
     state = _gate_and_update(
         state, params, method, pos, obs_c,
-        obs_valid_c & use[:, None], use, dof, ns_iters=ns_iters,
+        obs_valid_c & use[:, None], use, dof, ns_iters=ns_iters, w=w,
     )
 
     # All processed or too-short tracks leave the map.
@@ -242,7 +293,7 @@ def _remove_lost_features(state: FilterState, params: MsckfParams, method: str, 
     return state._replace(tracks=tracks)
 
 
-def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0) -> FilterState:
+def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_update: int = 0, ns_iters: int = 0, cfg: FilterConfig | None = None) -> FilterState:
     """Marginalize two redundant camera states
     (reference pruneCamStateBuffer, msckf_vio.cpp:1073-1184)."""
     tracks = state.tracks
@@ -280,6 +331,11 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_
     use = cand_k & init_ok
     dof = jnp.clip(involved[idx], 1, 99)
     involved_mask_k = involved_mask[idx]
+    w = None
+    if cfg is not None and cfg.noise_adaptive:
+        # Weight from the observations this update consumes (the two
+        # pruned slots).
+        w = _snr_weights(tracks.quality[idx], involved_mask_k, cfg)
     if method == "schur":
         # Every used observation lives in the two pruned slots, so the
         # gate+update runs camera-compacted: (K, 8, 8) gating systems and a
@@ -289,12 +345,12 @@ def _prune_cam_states(state: FilterState, params: MsckfParams, method: str, max_
         mask_c = (involved_mask_k & use[:, None])[:, cam_idx]
         state = _gate_and_update(
             state, params, method, pos, obs_c, mask_c, use, dof,
-            cam_idx=cam_idx, ns_iters=ns_iters,
+            cam_idx=cam_idx, ns_iters=ns_iters, w=w,
         )
     else:
         state = _gate_and_update(
             state, params, method, pos, obs_k,
-            involved_mask_k & use[:, None], use, dof, ns_iters=ns_iters,
+            involved_mask_k & use[:, None], use, dof, ns_iters=ns_iters, w=w,
         )
 
     # Persist positions of tracks initialized during this phase (the
@@ -380,7 +436,9 @@ def _propagate_augment_observe(
     )
     state = propagate(state, imu, params.Q_imu)
     state = augment_state(state, frame.time)
-    return add_feature_observations(state, frame.fid, frame.uv, frame.valid)
+    return add_feature_observations(
+        state, frame.fid, frame.uv, frame.valid, quality=frame.quality
+    )
 
 
 def filter_step(
@@ -403,10 +461,14 @@ def filter_step(
     FilterConfig.matmul_precision exposes the 3-pass/1-pass alternatives."""
     with matmul_precision_scope(cfg.matmul_precision):
         state = _propagate_augment_observe(state, frame, imu, params)
-        state = _remove_lost_features(state, params, method, cfg.max_update_tracks, cfg.ns_iters)
+        state = _remove_lost_features(
+            state, params, method, cfg.max_update_tracks, cfg.ns_iters, cfg=cfg
+        )
         state = jax.lax.cond(
             state.num_cams >= cfg.max_cam_state_size,
-            lambda s: _prune_cam_states(s, params, method, cfg.max_update_tracks, cfg.ns_iters),
+            lambda s: _prune_cam_states(
+                s, params, method, cfg.max_update_tracks, cfg.ns_iters, cfg=cfg
+            ),
             lambda s: s,
             state,
         )
@@ -451,6 +513,20 @@ def filter_internals(
             pos, obs_c, obs_mask, state.cams, state.gravity,
             params.R_c0_c1, params.t_c0_c1,
         )
+        if cfg.noise_adaptive:
+            # Mirror the live filter's SNR weighting in the dumped tensors.
+            sw = jnp.sqrt(
+                _snr_weights(state.tracks.quality[idx], obs_valid_c, cfg)
+            )
+            blocks = blocks._replace(
+                H_x=blocks.H_x * sw[:, None, None, None].astype(blocks.H_x.dtype),
+                H_f=blocks.H_f * sw[:, None, None, None].astype(blocks.H_f.dtype),
+                r=blocks.r * sw[:, None, None].astype(blocks.r.dtype),
+            )
+            jacs = jacs._replace(
+                H_o=jacs.H_o * sw[:, None, None].astype(jacs.H_o.dtype),
+                r_o=jacs.r_o * sw[:, None].astype(jacs.r_o.dtype),
+            )
         gamma_qr = gating_scores(jacs, state.P, params.sigma2)
         gamma_schur = schur_gating(blocks, state.P, params.sigma2, cfg.ns_iters)
         thresh = params.chi2_table[dof]

@@ -82,7 +82,9 @@ def compact_after_removal(state: FilterState, slot_a, slot_b) -> FilterState:
     tracks = state.tracks
     obs = tracks.obs[:, perm, :]
     obs_valid = tracks.obs_valid[:, perm] & (jnp.arange(M)[None, :] < n - 2)
-    tracks = tracks._replace(obs=obs, obs_valid=obs_valid)
+    tracks = tracks._replace(
+        obs=obs, obs_valid=obs_valid, quality=tracks.quality[:, perm]
+    )
 
     # Covariance block permutation: index vector over D entries.
     blk = jnp.arange(6)

@@ -156,6 +156,7 @@ def run_sequence(
     method: str = "qr",
     chunk: Optional[int] = None,
     state: Optional[FilterState] = None,
+    quality: Optional[np.ndarray] = None,  # (T, F) tracking-SNR proxy
 ) -> SequenceResult:
     """Run the back-end over a full sequence of frontend feature frames."""
     params = make_params(cfg, calib, dtype)
@@ -172,6 +173,7 @@ def run_sequence(
         fid=jnp.asarray(fid, jnp.int32),
         uv=jnp.asarray(uv, dtype),
         valid=jnp.asarray(valid),
+        quality=None if quality is None else jnp.asarray(quality, dtype),
     )
 
     T = frame_t.shape[0]

@@ -66,6 +66,12 @@ class TrackMap(NamedTuple):
     obs_valid: jnp.ndarray  # (K, M) bool
     pos: jnp.ndarray  # (K, 3) triangulated world position
     initialized: jnp.ndarray  # (K,) bool
+    # Per-observation tracking-SNR proxy (frontend template min gradient
+    # eigenvalue per pixel at the frame the observation was made; 0 =
+    # unknown).  Feeds the SNR-adaptive observation noise
+    # (FilterConfig.noise_adaptive); the reference uses a single static
+    # observation_noise scalar (msckf_vio.cpp:44).
+    quality: jnp.ndarray  # (K, M)
 
 
 class FilterState(NamedTuple):
@@ -125,6 +131,7 @@ def init_filter_state(
         obs_valid=jnp.zeros((K, M), bool),
         pos=jnp.zeros((K, 3), dtype),
         initialized=jnp.zeros((K,), bool),
+        quality=jnp.zeros((K, M), dtype),
     )
 
     return FilterState(

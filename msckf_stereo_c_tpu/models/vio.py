@@ -112,6 +112,7 @@ def _run_frontend(
         fid=out.fid,
         uv=out.uv.astype(fdtype),
         valid=out.valid,
+        quality=out.quality.astype(fdtype),
     )
     return tracker, out, frame, pyr0
 

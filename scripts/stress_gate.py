@@ -46,6 +46,15 @@ def main():
     mcfg = FilterConfig(
         ns_iters=int(os.environ.get("STRESS_NS_ITERS", "10")),
         matmul_precision=os.environ.get("STRESS_FILTER_PRECISION", "tensorfloat32"),
+        noise_adaptive=os.environ.get(
+            "STRESS_NOISE_ADAPTIVE", str(int(FilterConfig.noise_adaptive))
+        ) == "1",
+        noise_snr_ref=float(
+            os.environ.get("STRESS_NOISE_REF", FilterConfig.noise_snr_ref)
+        ),
+        noise_inflation_cap=float(
+            os.environ.get("STRESS_NOISE_CAP", FilterConfig.noise_inflation_cap)
+        ),
     )
     fcfg = FrontendConfig(
         matmul_precision=os.environ.get("STRESS_FRONTEND_PRECISION", FrontendConfig.matmul_precision),
@@ -58,6 +67,7 @@ def main():
         fast_threshold=int(
             os.environ.get("STRESS_FAST_THR", FrontendConfig.fast_threshold)
         ),
+        klt_norm=os.environ.get("STRESS_KLT_NORM", FrontendConfig.klt_norm),
     )
 
     # Photometric-channel knobs (defaults follow make_stress_events).
