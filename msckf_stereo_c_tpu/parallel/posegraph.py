@@ -69,8 +69,11 @@ def _assemble(graph: PoseGraph, F: int):
     qj = graph.q[graph.edge_j]
     pj = graph.p[graph.edge_j]
     r, Ji, Jj = _edge_rj(qi, pi, qj, pj, graph.R_meas, graph.t_meas)
+    # ``weight`` is the edge information (1/sigma^2): it must scale H and b
+    # by the SAME power or the Gauss-Newton step is mis-scaled per edge
+    # (the historical code weighted r once more than J, which cancels only
+    # for uniform weights and diverges for mixed odometry/loop weights).
     w = graph.weight[:, None, None]
-    r = r * graph.weight[:, None]
 
     Hii = jnp.einsum("eab,eac->ebc", Ji * w, Ji)
     Hjj = jnp.einsum("eab,eac->ebc", Jj * w, Jj)
@@ -86,7 +89,7 @@ def _assemble(graph: PoseGraph, F: int):
     b = jnp.zeros((F, 6), dtype)
     b = b.at[graph.edge_i].add(bi)
     b = b.at[graph.edge_j].add(bj)
-    cost = jnp.sum(r * r)
+    cost = jnp.sum(graph.weight * jnp.sum(r * r, axis=-1))
     return H, b, cost
 
 

@@ -84,6 +84,10 @@ def run_stress_gate(
         from .trajectory import make_circle_trajectory
 
         traj = make_circle_trajectory(duration=duration, **(traj_kwargs or {}))
+    elif generator == "fastmotion":
+        from .trajectory import make_fastmotion_trajectory
+
+        traj = make_fastmotion_trajectory(duration=duration, **(traj_kwargs or {}))
     else:
         traj = make_stress_trajectory(duration=duration, **(traj_kwargs or {}))
     landmarks = make_room_landmarks(

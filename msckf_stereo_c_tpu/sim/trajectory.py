@@ -149,6 +149,32 @@ def _rot_y(a):
     return np.array([[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]])
 
 
+def transform_trajectory(
+    traj: SimTrajectory, yaw: float = 0.0, offset=(0.0, 0.0, 0.0)
+) -> SimTrajectory:
+    """Rigidly move a trajectory in the world (rotate about gravity by
+    ``yaw``, then translate): a second session of the same room starting
+    from a different pose.  Body-frame quantities (gyro, specific force)
+    are invariant under a world yaw+translation, so the synthesized IMU
+    stream is untouched — only p, v, R_w_b change."""
+    W = np.array(
+        [
+            [np.cos(yaw), -np.sin(yaw), 0.0],
+            [np.sin(yaw), np.cos(yaw), 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    d = np.asarray(offset, np.float64)
+    return SimTrajectory(
+        t=traj.t,
+        p=traj.p @ W.T + d,
+        v=traj.v @ W.T,
+        R_w_b=np.einsum("nij,kj->nik", traj.R_w_b, W),
+        gyro=traj.gyro,
+        acc=traj.acc,
+    )
+
+
 def make_stress_trajectory(
     duration: float = 130.0,
     imu_rate: float = 200.0,
@@ -162,6 +188,12 @@ def make_stress_trajectory(
     roll_amp: float = 0.3,
     pitch_amp: float = 0.22,
     yaw_amp: float = 0.25,
+    radius_period: float = 37.0,
+    z_period: float = 11.0,
+    roll_period: float = 7.3,
+    pitch_period: float = 5.1,
+    yaw_period: float = 9.7,
+    speed_mod_period: float = 29.0,
 ) -> SimTrajectory:
     """The V1_01-realistic stress trajectory: long (default 130 s, vs the
     8 s bench circle), aggressive 6-dof — orbit radius breathing, strongly
@@ -204,7 +236,7 @@ def make_stress_trajectory(
     # the base rate -> low-parallax stretches).
     #   rate(u) = omega (1 - e^{-u/T}) (1 + m sin(a u)),  a = 2 pi / 29
     # whose integral is closed-form (exponential-times-sinusoid terms).
-    a29 = 2.0 * np.pi / 29.0
+    a29 = 2.0 * np.pi / speed_mod_period
     sn29, cs29 = np.sin(a29 * u), np.cos(a29 * u)
     rate = omega * ramp * (1.0 + speed_mod * sn29)
     drate = omega * (dramp * (1.0 + speed_mod * sn29) + ramp * speed_mod * a29 * cs29 * s)
@@ -218,9 +250,9 @@ def make_stress_trajectory(
         - speed_mod * I
     )
 
-    r_osc, dr_osc, ddr_osc = osc(radius_amp, 37.0)
+    r_osc, dr_osc, ddr_osc = osc(radius_amp, radius_period)
     r_orb = base_radius + r_osc
-    z, dz, ddz = osc(z_amp, 11.0)
+    z, dz, ddz = osc(z_amp, z_period)
     cth, sth = np.cos(th), np.sin(th)
     p = np.stack([r_orb * cth, r_orb * sth, z], axis=1)
     v = np.stack(
@@ -248,9 +280,9 @@ def make_stress_trajectory(
 
     # Attitude: tangent-following base (cameras along body +z look at the
     # outer wall) with roll/pitch/yaw oscillations at incommensurate rates.
-    roll, droll, _ = osc(roll_amp, 7.3)
-    pitch, dpitch, _ = osc(pitch_amp, 5.1, 0.7)
-    yaw, dyaw, _ = osc(yaw_amp, 9.7, 1.3)
+    roll, droll, _ = osc(roll_amp, roll_period)
+    pitch, dpitch, _ = osc(pitch_amp, pitch_period, 0.7)
+    yaw, dyaw, _ = osc(yaw_amp, yaw_period, 1.3)
     psi = th + yaw
     R_w_b = _compose_rotations(roll, pitch, psi)
     gyro = _analytic_gyro(roll, droll, pitch, dpitch, psi, rate + dyaw)
@@ -258,6 +290,38 @@ def make_stress_trajectory(
     g_w = np.array([0.0, 0.0, -GRAVITY])
     acc = np.einsum("nij,nj->ni", R_w_b, a_w - g_w)
     return SimTrajectory(t=t, p=p, v=v, R_w_b=R_w_b, gyro=gyro, acc=acc)
+
+
+def make_fastmotion_trajectory(
+    duration: float = 130.0,
+    imu_rate: float = 200.0,
+) -> SimTrajectory:
+    """The second stress-trajectory FAMILY (VERDICT round 4 next #4):
+    translation-dominant V1_02/V1_03-class motion — sustained ~2.5 m/s
+    sweeps with strong radius breathing (the camera repeatedly closes to
+    ~1.9 m of the wall at speed), fast altitude strokes, and saccade-like
+    yaw/pitch oscillations (peak body rates ~1.4 rad/s) with far fewer
+    near-stalls than the Vicon-room family.  Same analytic-derivative
+    machinery as make_stress_trajectory — only the parameter point differs,
+    so the IMU stream is exactly consistent with the ground truth."""
+    return make_stress_trajectory(
+        duration=duration,
+        imu_rate=imu_rate,
+        base_radius=3.4,
+        radius_amp=1.5,
+        omega=2.0 * np.pi / 12.0,
+        speed_mod=0.35,
+        z_amp=1.0,
+        roll_amp=0.35,
+        pitch_amp=0.3,
+        yaw_amp=0.45,
+        radius_period=23.0,
+        z_period=7.0,
+        roll_period=5.3,
+        pitch_period=3.7,
+        yaw_period=4.3,
+        speed_mod_period=19.0,
+    )
 
 
 @dataclasses.dataclass

@@ -84,11 +84,13 @@ def main():
         events_kwargs["noise_shot_gain"] = float(os.environ["STRESS_NOISE_SHOT"])
 
     gate = 0.13
+    generator = os.environ.get("STRESS_GENERATOR", "stress")
     t0 = time.time()
     runs = []
     for seed in range(seed0, seed0 + n_seeds):
         out = run_stress_gate(
             duration=duration,
+            generator=generator,
             chunk=int(os.environ.get("STRESS_CHUNK", "64")),
             fcfg=fcfg,
             mcfg=mcfg,
@@ -175,6 +177,7 @@ def main():
                 "duration_s": worst.duration,
                 "frames": worst.n_frames,
                 "min_tracks": int(min(r.min_tracks_after_ransac for r in runs)),
+                "generator": generator,
                 "device": jax.devices()[0].device_kind,
                 "wall_s": round(wall, 1),
                 **(refine_stats or {}),

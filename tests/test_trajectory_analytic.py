@@ -15,14 +15,20 @@ import pytest
 from msckf_stereo_c_tpu.sim.trajectory import (
     GRAVITY,
     make_circle_trajectory,
+    make_fastmotion_trajectory,
     make_stress_trajectory,
 )
 
+_MAKERS = {
+    "circle": make_circle_trajectory,
+    "stress": make_stress_trajectory,
+    "fastmotion": make_fastmotion_trajectory,
+}
 
-@pytest.fixture(scope="module", params=["circle", "stress"])
+
+@pytest.fixture(scope="module", params=["circle", "stress", "fastmotion"])
 def traj(request):
-    make = make_circle_trajectory if request.param == "circle" else make_stress_trajectory
-    return make(duration=20.0)
+    return _MAKERS[request.param](duration=20.0)
 
 
 def test_velocity_is_derivative_of_position(traj):
@@ -90,7 +96,7 @@ def test_dead_reckoning_noise_free_imu(traj):
 
 def test_starts_static():
     """The gravity/bias init window (first 1.5 s) must be truly static."""
-    for make in (make_circle_trajectory, make_stress_trajectory):
+    for make in (make_circle_trajectory, make_stress_trajectory, make_fastmotion_trajectory):
         tr = make(duration=5.0)
         m = tr.t < 1.4
         assert np.abs(tr.gyro[m]).max() < 1e-12
