@@ -71,6 +71,10 @@ def main():
             "BENCH_STEREO_LR_SURVIVORS", FrontendConfig.stereo_lr_survivors
         ),
         cand_level1=_env_bool("BENCH_CAND_LEVEL1", FrontendConfig.cand_level1),
+        # Photometric normalization of the corr-path LK (see FrontendConfig.
+        # klt_norm; the affine-photometric 'gain' mode is the accuracy
+        # default since round 5 — BENCH_KLT_NORM=none for the raw path).
+        klt_norm=os.environ.get("BENCH_KLT_NORM", FrontendConfig.klt_norm),
     )
     # Newton-Schulz linear solvers (batched MXU matmuls instead of the
     # column-sequential Cholesky lowerings) are the hardware default;
@@ -82,6 +86,7 @@ def main():
     mcfg = FilterConfig(
         ns_iters=int(os.environ.get("BENCH_NS_ITERS", "10")),
         matmul_precision=os.environ.get("BENCH_FILTER_PRECISION", "tensorfloat32"),
+        noise_adaptive=_env_bool("BENCH_NOISE_ADAPTIVE", FilterConfig.noise_adaptive),
     )
     dtype = jnp.float32  # hardware path: filter in f32 (f64 is emulated on TPU)
 

@@ -43,6 +43,16 @@ _KLT_IMPLS = {
 }
 
 
+def _norms(cfg: FrontendConfig):
+    """(general, anchor) photometric norms for cfg.klt_norm.  'mixed' uses
+    the cheap offset-invariant surfaces everywhere except the anchor
+    alignment, whose template spans the whole exposure-drift range (birth
+    gain vs current gain) and needs the full affine-photometric solve."""
+    if cfg.klt_norm == "mixed":
+        return "zeromean", "gain"
+    return cfg.klt_norm, cfg.klt_norm
+
+
 def _klt_fn(name: str, norm: str = "none"):
     try:
         fn = _KLT_IMPLS[name]
@@ -292,7 +302,8 @@ def _stereo_match_merged(
      (cand_pts1, cand_ok, cand_depth), (surv_tmpl, cand_tmpl), n_anchor)
     where pts0_surv are the (possibly anchor-refined) cam0 positions."""
     H, W = img_shape
-    klt = _klt_fn(cfg.klt_impl, cfg.klt_norm)
+    norm, anchor_norm = _norms(cfg)
+    klt = _klt_fn(cfg.klt_impl, norm)
 
     # Candidate initial guess: rotate cam0 rays by R_c0_c1 into cam1.
     xn = undistort_points(cand_xy, params.K0, params.D0, model=cfg.distortion_model0, R=params.R_c0_c1)
@@ -337,7 +348,8 @@ def _stereo_match_merged(
             anchor_sp=anchor_sp,
             anchor_valid=surv_valid if anchor_sp is not None else None,
             anchor_radius=cfg.anchor_radius,
-            norm=cfg.klt_norm,
+            norm=norm,
+            anchor_norm=anchor_norm,
         )
         if acc is not None:
             n_anchor = jnp.sum(acc).astype(jnp.int32)
@@ -347,7 +359,7 @@ def _stereo_match_merged(
         res, sp_all = optical_flow_lk_corr_l0(
             pyr0[0], pyr1[0], pts0, guess, valid,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            want_tmpl=True, norm=cfg.klt_norm,
+            want_tmpl=True, norm=norm,
         )
     else:
         res = klt(
@@ -598,7 +610,8 @@ def _frontend_step_impl(
         depth_ratio = jnp.clip(z0 / zc, 0.5, 2.0)
 
     active = state.fid >= 0
-    klt = _klt_fn(cfg.klt_impl, cfg.klt_norm)
+    norm, anchor_norm = _norms(cfg)
+    klt = _klt_fn(cfg.klt_impl, norm)
     tl = max(1, min(cfg.temporal_levels, len(pyr0_prev)))
     if _tmpl_carry_active(cfg):
         # The carried patches are bit-identical to what extraction at
@@ -607,7 +620,7 @@ def _frontend_step_impl(
         res, _ = optical_flow_lk_corr_l0(
             pyr0_prev[0], pyr0_curr[0], state.pts0, guess, active,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            tmpl_sp=state.tmpl, norm=cfg.klt_norm,
+            tmpl_sp=state.tmpl, norm=norm,
         )
     else:
         res = klt(
@@ -632,7 +645,7 @@ def _frontend_step_impl(
         res_a, _ = optical_flow_lk_corr_l0(
             pyr0_curr[0], pyr0_curr[0], tracked_pts0, tracked_pts0, tracked,
             win=cfg.patch_size, iters=cfg.max_iteration, eps=cfg.track_precision,
-            tmpl_sp=state.anchor, norm=cfg.klt_norm,
+            tmpl_sp=state.anchor, norm=anchor_norm,
         )
         corr2 = jnp.sum((res_a.pts - tracked_pts0) ** 2, axis=1)
         accept = tracked & res_a.valid & (corr2 <= cfg.anchor_radius**2)

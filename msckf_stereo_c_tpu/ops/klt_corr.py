@@ -600,6 +600,7 @@ def stereo_anchor_lr_fused(
     anchor_valid: jnp.ndarray | None = None,
     anchor_radius: float = 2.0,
     norm: str = "none",
+    anchor_norm: str | None = None,
 ):
     """Fused full-resolution stereo fine level: (optional) anchor-template
     refinement of ``pts0`` + forward LK img0->img1 + backward left-right
@@ -671,8 +672,9 @@ def stereo_anchor_lr_fused(
     accept = None
     if anchor_sp is not None:
         A = anchor_sp.shape[0]
-        tqa = _template_quantities(anchor_sp, P, norm)
-        Cxa, Cya, Cta = _surfaces_for_norm(big0[:A], tqa, P, norm)
+        a_norm = norm if anchor_norm is None else anchor_norm
+        tqa = _template_quantities(anchor_sp, P, a_norm)
+        Cxa, Cya, Cta = _surfaces_for_norm(big0[:A], tqa, P, a_norm)
         f0a = pts0[:A] - c_off - sorg0[:A]
         fa = _run_iterations(
             Cxa, Cya, Cta, tqa, f0a, ~tqa.good, iters, eps, S, P, mode
