@@ -455,27 +455,22 @@ def _surfaces_for_norm(spatch: jnp.ndarray, tq: TemplateQ, P: int, norm: str):
 
     Returns (Cx, Cy, Ct): the (mean-corrected, for zeromean/gain) gradient
     correlation surfaces, plus the template-correlation surface for 'gain'
-    (None otherwise).  The zero-mean correction folds into the surfaces by
-    linearity of bilinear sampling — Cx_zm = Cx - (sum gx / P^2) * C1 with
-    C1 the box-sum surface — so the iteration kernel for 'zeromean' is the
-    unmodified translation kernel."""
+    (None otherwise).  The zero-mean correction folds into the FILTERS by
+    linearity: sum (gx - mean gx) * patch = sum gx*patch - (sum gx / n) *
+    sum patch, i.e. mean-centered gradient filters compute the corrected
+    surfaces directly — 'zeromean' costs exactly the same conv as 'none',
+    and the template filter of 'gain' needs no correction at all (the
+    zero-meaned template already sums to zero)."""
     if norm == "none":
         Cx, Cy = _corr_surfaces(spatch, tq.gx, tq.gy, P)
         return Cx, Cy, None
     n = float(P * P)
-    ones = jnp.ones_like(tq.gx)
+    gxc = tq.gx - (tq.sgx / n)[:, None, None]
+    gyc = tq.gy - (tq.sgy / n)[:, None, None]
     if norm == "zeromean":
-        Cx, Cy, C1 = _corr_surfaces(spatch, tq.gx, tq.gy, P, extra=(ones,))
-        Cx = Cx - (tq.sgx / n)[:, None, None] * C1
-        Cy = Cy - (tq.sgy / n)[:, None, None] * C1
+        Cx, Cy = _corr_surfaces(spatch, gxc, gyc, P)
         return Cx, Cy, None
-    # gain: one extra filter — the zero-meaned template.  Its own surface
-    # needs no mean correction (sum of tmpl_c is zero).
-    Cx, Cy, C1, Ct = _corr_surfaces(
-        spatch, tq.gx, tq.gy, P, extra=(ones, tq.tmpl_c)
-    )
-    Cx = Cx - (tq.sgx / n)[:, None, None] * C1
-    Cy = Cy - (tq.sgy / n)[:, None, None] * C1
+    Cx, Cy, Ct = _corr_surfaces(spatch, gxc, gyc, P, extra=(tq.tmpl_c,))
     return Cx, Cy, Ct
 
 
