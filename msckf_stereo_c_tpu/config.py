@@ -215,16 +215,17 @@ class FrontendConfig:
     # from one extra correlation surface (affine-photometric LK): the
     # displacement estimate is exactly unbiased under patch = a*templ + b —
     # the anchor-refinement and low-SNR-window bias mechanism identified in
-    # 'mixed' = 'gain' for the anchor alignment only (whose template spans
-    # the full exposure-drift range) and 'zeromean' elsewhere — most of the
-    # accuracy at roughly half the extra cost.
-    # Applies to every alignment problem in
-    # the corr path (temporal, stereo, anchor, LR round trip).  Default
-    # 'gain' since round 5: 130 s TPU stress gate on the round-4 worst seed
-    # 0.1204 -> 0.0628 m (36 s: 0.0479 -> 0.0386); costs ~16% bench fps
-    # (one extra surface per conv + the 3x3 solve).  'none' restores the
-    # reference-faithful raw path.
-    klt_norm: str = "gain"
+    # 'mixed' (the default since round 5) = 'gain' for the anchor alignment
+    # only and 'zeromean' elsewhere.  Measured on the 130 s TPU 5-seed
+    # protocol: gain-EVERYWHERE trades variance for invariance (worst seed
+    # 0.150 — the per-iteration gain d.o.f. consumes residual SNR exactly
+    # in the low-texture windows), while 'mixed' keeps the offset-invariant
+    # surfaces (no extra d.o.f.) for the noisy frame-to-frame solves and
+    # reserves the affine solve for the anchor problem — high-SNR birth
+    # templates whose gain mismatch spans the full exposure drift (0.33x).
+    # Per-seed numbers in docs/STRESS_NOTES.md round 5.  'none' restores
+    # the reference-faithful raw path.
+    klt_norm: str = "mixed"
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob
@@ -237,10 +238,10 @@ class FrontendConfig:
 
     def __post_init__(self):
         _check_matmul_precision(self.matmul_precision)
-        if self.klt_norm not in ("none", "zeromean", "gain", "mixed"):
+        if self.klt_norm not in ("none", "zeromean", "offset", "gain", "mixed"):
             raise ValueError(
                 f"klt_norm={self.klt_norm!r} is not one of "
-                "('none', 'zeromean', 'gain', 'mixed')"
+                "('none', 'zeromean', 'offset', 'gain', 'mixed')"
             )
         if self.klt_norm != "none" and self.klt_impl != "corr":
             raise ValueError(

@@ -45,11 +45,14 @@ _KLT_IMPLS = {
 
 def _norms(cfg: FrontendConfig):
     """(general, anchor) photometric norms for cfg.klt_norm.  'mixed' uses
-    the cheap offset-invariant surfaces everywhere except the anchor
-    alignment, whose template spans the whole exposure-drift range (birth
-    gain vs current gain) and needs the full affine-photometric solve."""
+    the damped joint translation+offset solve for the frame-to-frame
+    problems (offset-invariant on texture, near-raw on ramps, noise-benign)
+    and the full affine-photometric solve only for the anchor alignment,
+    whose template spans the whole exposure-drift range (birth gain vs
+    current gain).  See docs/STRESS_NOTES.md round 5 for why neither
+    'gain' nor 'zeromean' everywhere survives the 5-seed protocol."""
     if cfg.klt_norm == "mixed":
-        return "zeromean", "gain"
+        return "offset", "gain"
     return cfg.klt_norm, cfg.klt_norm
 
 

@@ -419,8 +419,27 @@ def _template_quantities(sp: jnp.ndarray, P: int, norm: str = "none") -> Templat
     if norm == "zeromean":
         return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
                          tgx=tgx_c, tgy=tgy_c, sgx=sgx, sgy=sgy)
-    if norm != "gain":
+    if norm not in ("gain", "offset"):
         raise ValueError(f"unknown klt norm {norm!r}")
+
+    if norm == "offset":
+        # Damped joint (translation, brightness-offset) solve: the border
+        # is the CONSTANT photometric Jacobian (ones), so the offset
+        # unknown costs no SNR under noise (unlike the gain unknown, whose
+        # Jacobian is the noisy template) yet absorbs exposure-offset
+        # mismatch on textured patches.  On DC-gradient (ramp) patches the
+        # offset is translation-confounded; the 5% damp then recovers
+        # near-raw-LK behavior instead of the hard-zeromean freeze (a
+        # centered-gradient solve has NO signal on ramps — measured as the
+        # mixed-v1 seed-0 blowup, docs/STRESS_NOTES.md round 5).
+        n_px = float(P * P)
+        st_sum = jnp.sum(templ, (-2, -1))
+        Binv = _bordered_inverse_rows(
+            gxx, gxy, gyy, sgx, sgy, n_px * (1.0 + 0.05) * jnp.ones_like(sgx)
+        )
+        return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
+                         tgx=tgx, tgy=tgy, sgx=sgx, sgy=sgy,
+                         st2=st_sum, Binv=Binv)
 
     tmpl_c = templ - mt[:, None, None]
     st2 = jnp.sum(tmpl_c * tmpl_c, (-2, -1))
@@ -428,26 +447,30 @@ def _template_quantities(sp: jnp.ndarray, P: int, norm: str = "none") -> Templat
     # h = (tgx_c, tgy_c); its Schur complement st2 - h^T G^-1 h vanishes
     # when the template is a linear ramp (gain ~ translation confounded),
     # so the beta block carries a 5 % relative Tikhonov damp.
-    damp = 0.05 * st2 + 1e-12
-    a22 = st2 + damp
-    # Closed-form inverse rows for the displacement block via cofactors.
-    detA = (
-        gxx * (gyy * a22 - tgy_c * tgy_c)
-        - gxy * (gxy * a22 - tgy_c * tgx_c)
-        + tgx_c * (gxy * tgy_c - gyy * tgx_c)
-    )
-    inv_detA = 1.0 / jnp.where(jnp.abs(detA) > 1e-30, detA, 1e-30)
-    B00 = (gyy * a22 - tgy_c * tgy_c) * inv_detA
-    B01 = (tgx_c * tgy_c - gxy * a22) * inv_detA
-    B02 = (gxy * tgy_c - gyy * tgx_c) * inv_detA
-    B11 = (gxx * a22 - tgx_c * tgx_c) * inv_detA
-    B12 = (gxy * tgx_c - gxx * tgy_c) * inv_detA
-    Binv = jnp.stack(
-        [jnp.stack([B00, B01, B02], -1), jnp.stack([B01, B11, B12], -1)], -2
-    )  # (N, 2, 3)
+    a22 = st2 * 1.05 + 1e-12
+    Binv = _bordered_inverse_rows(gxx, gxy, gyy, tgx_c, tgy_c, a22)
     return TemplateQ(gx=gx, gy=gy, G=G, good=good, min_eig=min_eig,
                      tgx=tgx_c, tgy=tgy_c, sgx=sgx, sgy=sgy,
                      tmpl_c=tmpl_c, st2=st2, Binv=Binv)
+
+
+def _bordered_inverse_rows(gxx, gxy, gyy, hx, hy, a22):
+    """(N, 2, 3) displacement rows of inv([[gxx, gxy, hx], [gxy, gyy, hy],
+    [hx, hy, a22]]) via cofactors — the photometric-augmented GN solve."""
+    detA = (
+        gxx * (gyy * a22 - hy * hy)
+        - gxy * (gxy * a22 - hy * hx)
+        + hx * (gxy * hy - gyy * hx)
+    )
+    inv_detA = 1.0 / jnp.where(jnp.abs(detA) > 1e-30, detA, 1e-30)
+    B00 = (gyy * a22 - hy * hy) * inv_detA
+    B01 = (hx * hy - gxy * a22) * inv_detA
+    B02 = (gxy * hy - gyy * hx) * inv_detA
+    B11 = (gxx * a22 - hx * hx) * inv_detA
+    B12 = (gxy * hx - gxx * hy) * inv_detA
+    return jnp.stack(
+        [jnp.stack([B00, B01, B02], -1), jnp.stack([B01, B11, B12], -1)], -2
+    )
 
 
 def _surfaces_for_norm(spatch: jnp.ndarray, tq: TemplateQ, P: int, norm: str):
@@ -464,6 +487,13 @@ def _surfaces_for_norm(spatch: jnp.ndarray, tq: TemplateQ, P: int, norm: str):
     if norm == "none":
         Cx, Cy = _corr_surfaces(spatch, tq.gx, tq.gy, P)
         return Cx, Cy, None
+    if norm == "offset":
+        # Raw gradient surfaces + the box-sum surface (the offset
+        # residual's correlation: bo = sum T - interp(C1)).
+        Cx, Cy, C1 = _corr_surfaces(
+            spatch, tq.gx, tq.gy, P, extra=(jnp.ones_like(tq.gx),)
+        )
+        return Cx, Cy, C1
     n = float(P * P)
     gxc = tq.gx - (tq.sgx / n)[:, None, None]
     gyc = tq.gy - (tq.sgy / n)[:, None, None]

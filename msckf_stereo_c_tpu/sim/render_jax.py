@@ -173,6 +173,15 @@ def make_stress_events(
     motion_blur: bool = True,
     vignette: float = 0.35,
     noise_seed: int = 0,
+    # Depth of the texture-poor windows (fraction of texture/blob contrast
+    # removed).  The historical 0.85/0.65 pairs with the Vicon-room
+    # trajectory, whose angular-speed near-stalls coincide with the
+    # windows; the fast-motion family (3+ m/s sprints through the same
+    # schedule) uses a milder dip — an 85% texture kill DURING a sprint is
+    # a guaranteed total outage for any tracker (measured: min_tracks 0,
+    # 0.173 m) and no real benchmark couples the two.
+    tex_poor_depth: float = 0.85,
+    blob_poor_depth: float = 0.65,
 ) -> StressEvents:
     """The standard stress schedule, windowed by normalized sequence time:
 
@@ -202,8 +211,8 @@ def make_stress_events(
         return np.minimum(up, dn)
 
     poor = np.maximum(window(0.22, 0.36), window(0.58, 0.72))
-    tex_scale = 1.0 - 0.85 * poor
-    blob_scale = 1.0 - 0.65 * poor
+    tex_scale = 1.0 - tex_poor_depth * poor
+    blob_scale = 1.0 - blob_poor_depth * poor
 
     gain = 1.0 + 0.25 * np.sin(2 * np.pi * u * 3.1) - 0.1 * u
     offset = 12.0 * np.sin(2 * np.pi * u * 1.7 + 1.0)

@@ -82,6 +82,15 @@ def main():
         events_kwargs["noise_read_dn"] = float(os.environ["STRESS_NOISE_READ"])
     if "STRESS_NOISE_SHOT" in os.environ:
         events_kwargs["noise_shot_gain"] = float(os.environ["STRESS_NOISE_SHOT"])
+    if "STRESS_TEX_POOR" in os.environ:
+        events_kwargs["tex_poor_depth"] = float(os.environ["STRESS_TEX_POOR"])
+    if "STRESS_BLOB_POOR" in os.environ:
+        events_kwargs["blob_poor_depth"] = float(os.environ["STRESS_BLOB_POOR"])
+    # The fast-motion family pairs with the milder texture dip by default
+    # (see make_stress_events): explicit env overrides still win.
+    if os.environ.get("STRESS_GENERATOR") == "fastmotion":
+        events_kwargs.setdefault("tex_poor_depth", 0.5)
+        events_kwargs.setdefault("blob_poor_depth", 0.4)
 
     gate = 0.13
     generator = os.environ.get("STRESS_GENERATOR", "stress")

@@ -99,6 +99,45 @@ def test_zeromean_offset_invariant():
     assert err_n > 2.0 * err_z, (err_n, err_z)
 
 
+def test_offset_mode_offset_invariant_and_ramp_safe():
+    """The damped joint translation+offset solve removes offset bias on
+    textured patches (like zeromean) but keeps tracking ramp-like patches
+    where centered-gradient solves have no signal (the mixed-v1 failure
+    mode, docs/STRESS_NOTES.md round 5)."""
+    img0, img1, pts0, true1, guess = _tracking_setup(gain=1.0, offset=20.0)
+    pts_n, val_n = _track(img0, img1, pts0, guess, "none")
+    pts_o, val_o = _track(img0, img1, pts0, guess, "offset")
+    err_n = _median_err(pts_n, val_n, true1)
+    err_o = _median_err(pts_o, val_o, true1)
+    assert err_o < 0.1, err_o
+    assert err_n > 2.0 * err_o, (err_n, err_o)
+
+    # Ramp scene: a pure linear ramp plus faint texture.  The zeromean
+    # solve freezes at the guess (centered gradients ~ 0); the offset
+    # solve must still converge to the true shift.
+    H, W, pad = 200, 260, 8
+    yy, xx = np.mgrid[0 : H + 2 * pad + 1, 0 : W + 2 * pad + 1]
+    rng = np.random.default_rng(9)
+    base = 0.5 * xx + 0.3 * yy + 2.0 * rng.standard_normal(xx.shape)
+    base = np.clip(base, 0, 255).astype(np.float64)
+    img0r = jnp.asarray(_shift_bilinear(base, 0.0, 0.0, pad, H, W))
+    img1r = jnp.asarray(_shift_bilinear(base, 1.2, -0.7, pad, H, W))
+    pts = np.stack(
+        [rng.uniform(40, W - 40, 30), rng.uniform(40, H - 40, 30)], axis=1
+    ).astype(np.float32)
+    true1r = pts - np.array([-0.7, 1.2], np.float32)
+    guess_r = jnp.asarray(true1r + rng.uniform(-1.5, 1.5, (30, 2)).astype(np.float32))
+    pts_o, val_o = _track(img0r, img1r, jnp.asarray(pts), guess_r, "offset")
+    pts_n, val_n = _track(img0r, img1r, jnp.asarray(pts), guess_r, "none")
+    err_o = np.linalg.norm(pts_o - true1r, axis=1)
+    err_n = np.linalg.norm(pts_n - true1r, axis=1)
+    # Offset mode keeps tracking the ramp (the damp bounds how much of the
+    # ramp's DC-gradient information the offset unknown can consume): its
+    # error stays within 2x of the raw solve on the same lanes.
+    assert np.median(err_o[val_o]) < 0.25, np.median(err_o[val_o])
+    assert np.median(err_o[val_o]) < 2.0 * np.median(err_n[val_o]) + 0.05
+
+
 def test_gain_mode_gain_invariant():
     """A 0.7x gain + offset mismatch (the stress gate's exposure-drift
     extreme) biases both the raw and zeromean paths; the affine-photometric
@@ -113,7 +152,7 @@ def test_gain_mode_gain_invariant():
     assert err_z > err_g, (err_z, err_g)
 
 
-@pytest.mark.parametrize("norm", ["zeromean", "gain"])
+@pytest.mark.parametrize("norm", ["zeromean", "offset", "gain"])
 def test_pallas_kernel_matches_xla_loop(norm, monkeypatch):
     """The Pallas iteration kernels (interpret mode) must match the XLA
     while_loop for the normalized modes too."""
