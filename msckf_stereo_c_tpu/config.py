@@ -215,17 +215,21 @@ class FrontendConfig:
     # from one extra correlation surface (affine-photometric LK): the
     # displacement estimate is exactly unbiased under patch = a*templ + b —
     # the anchor-refinement and low-SNR-window bias mechanism identified in
-    # 'mixed' (the default since round 5) = 'gain' for the anchor alignment
-    # only and 'zeromean' elsewhere.  Measured on the 130 s TPU 5-seed
-    # protocol: gain-EVERYWHERE trades variance for invariance (worst seed
-    # 0.150 — the per-iteration gain d.o.f. consumes residual SNR exactly
-    # in the low-texture windows), while 'mixed' keeps the offset-invariant
-    # surfaces (no extra d.o.f.) for the noisy frame-to-frame solves and
-    # reserves the affine solve for the anchor problem — high-SNR birth
-    # templates whose gain mismatch spans the full exposure drift (0.33x).
-    # Per-seed numbers in docs/STRESS_NOTES.md round 5.  'none' restores
-    # the reference-faithful raw path.
-    klt_norm: str = "mixed"
+    # 'mixed' = 'gain' for the anchor alignment only, the damped joint
+    # translation+offset solve ('offset') elsewhere.  'anchor_gain' (the
+    # default) keeps the frame-to-frame solves on the raw reference-faithful
+    # path — BIT-identical to 'none' — and applies the affine solve ONLY to
+    # the anchor alignment: the one problem whose template (stored at birth)
+    # spans the full exposure-drift range, i.e. the identified noise-locked
+    # anchor-bias mechanism.  Measured on the 130 s TPU 5-seed protocol
+    # (docs/STRESS_NOTES.md round 5): every mode that touches the NOISY
+    # frame-to-frame solves loses somewhere — gain everywhere worst 0.150
+    # (the per-iteration gain d.o.f. consumes residual SNR in low-texture
+    # windows), zeromean freezes on DC-gradient ramps, and the damped
+    # offset solve ('mixed') DIVERGED on one seed draw — while the anchor
+    # problem's templates are high-SNR and benefit cleanly.  'none'
+    # restores the reference-faithful raw path everywhere.
+    klt_norm: str = "anchor_gain"
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob
@@ -238,10 +242,12 @@ class FrontendConfig:
 
     def __post_init__(self):
         _check_matmul_precision(self.matmul_precision)
-        if self.klt_norm not in ("none", "zeromean", "offset", "gain", "mixed"):
+        if self.klt_norm not in (
+            "none", "zeromean", "offset", "gain", "mixed", "anchor_gain"
+        ):
             raise ValueError(
                 f"klt_norm={self.klt_norm!r} is not one of "
-                "('none', 'zeromean', 'offset', 'gain', 'mixed')"
+                "('none', 'zeromean', 'offset', 'gain', 'mixed', 'anchor_gain')"
             )
         if self.klt_norm != "none" and self.klt_impl != "corr":
             raise ValueError(

@@ -53,6 +53,14 @@ def _norms(cfg: FrontendConfig):
     'gain' nor 'zeromean' everywhere survives the 5-seed protocol."""
     if cfg.klt_norm == "mixed":
         return "offset", "gain"
+    if cfg.klt_norm == "anchor_gain":
+        # Frame-to-frame solves keep the raw (reference-faithful,
+        # bit-identical-to-'none') path — zero SNR cost, no ramp pathology —
+        # and ONLY the anchor alignment gets the affine-photometric solve:
+        # the one problem whose template (stored at birth) spans the full
+        # exposure-drift range, and the identified noise-locked-bias
+        # mechanism (docs/STRESS_NOTES.md rounds 4-5).
+        return "none", "gain"
     return cfg.klt_norm, cfg.klt_norm
 
 

@@ -206,3 +206,54 @@ def test_fused_call_gain_mode_runs():
         err_n = np.linalg.norm(p_n[acc_n] - np.asarray(pts0)[acc_n], axis=1)
         err_g = np.linalg.norm(p_g[acc_g] - np.asarray(pts0)[acc_g], axis=1)
         assert np.median(err_n) > np.median(err_g)
+
+
+def test_anchor_gain_mode_forward_bit_identical_to_none():
+    """klt_norm='anchor_gain' (norms ('none', 'gain')): the forward/backward
+    stereo legs must be BIT-identical to the all-'none' call — only the
+    anchor stage changes (it gets the affine-photometric solve against the
+    gain-mismatched birth template), so the anchor outputs may differ."""
+    from msckf_stereo_c_tpu.config import FrontendConfig
+    from msckf_stereo_c_tpu.models.frontend import _norms
+
+    assert _norms(FrontendConfig(klt_norm="anchor_gain")) == ("none", "gain")
+
+    img0, img1, pts0, _, guess = _tracking_setup(gain=1.0, offset=0.0)
+    n = pts0.shape[0]
+    valid = jnp.ones((n,), bool)
+
+    def run(anchor_norm):
+        return jax.jit(
+            lambda a, b, p, g, v, _an=anchor_norm: stereo_anchor_lr_fused(
+                a, b, p, g, v, win=15, iters=30, eps=0.01,
+                anchor_sp=None, anchor_valid=None,
+                norm="none", anchor_norm=_an,
+            )
+        )(img0, img1, pts0, guess, valid)
+
+    # Without an anchor slice the anchor_norm is inert: whole call equal.
+    o_none = run("none")
+    o_ag = run("gain")
+    np.testing.assert_array_equal(np.asarray(o_none[2].pts), np.asarray(o_ag[2].pts))
+    np.testing.assert_array_equal(np.asarray(o_none[3]), np.asarray(o_ag[3]))
+
+    # With an anchor slice, the anchor stage engages the gain solve but the
+    # forward leg still starts from the anchor-refined positions computed
+    # by its own norm — check the call runs and yields valid tracks.
+    img0_dark = 0.75 * img0 + 8.0
+    _, sp_anchor = jax.jit(
+        lambda a, p, v: optical_flow_lk_corr_l0(
+            a, a, p, p, v, win=15, iters=30, eps=0.01, want_tmpl=True
+        )
+    )(img0_dark, pts0, valid)
+    pts0_out, acc, res, rt2, sp, me = jax.jit(
+        lambda a, b, p, g, v, sp_a: stereo_anchor_lr_fused(
+            a, b, p, g, v, win=15, iters=30, eps=0.01,
+            anchor_sp=sp_a, anchor_valid=v, anchor_radius=2.0,
+            norm="none", anchor_norm="gain",
+        )
+    )(img0, img0, pts0, pts0, valid, sp_anchor)
+    acc = np.asarray(acc)
+    assert acc.sum() >= 0.9 * n
+    err = np.linalg.norm(np.asarray(pts0_out)[acc] - np.asarray(pts0)[acc], axis=1)
+    assert np.median(err) < 0.05, np.median(err)
