@@ -109,6 +109,101 @@ def match_landmarks(
     return ia[keep].astype(np.int32), nn_ab[keep].astype(np.int32)
 
 
+def _icp_passes(lms_a, cur, radii, min_matches):
+    """Mutual-NN + Kabsch passes at the given radius schedule.  Returns
+    (R, t, ia, ib, rms) accumulated over the passes (identity when no
+    radius ever yields min_matches)."""
+    R_acc = np.eye(3)
+    t_acc = np.zeros(3)
+    ia = ib = np.zeros(0, np.int32)
+    rms = np.inf
+    for r in radii:
+        ia, ib = match_landmarks(lms_a, cur, radius=r)
+        if len(ia) < min_matches:
+            continue
+        R, t = horn_align(cur[ib], lms_a[ia])
+        cur = cur @ R.T + t
+        R_acc = R @ R_acc
+        t_acc = R @ t_acc + t
+        rms = float(np.sqrt(np.mean(np.sum((cur[ib] - lms_a[ia]) ** 2, -1))))
+    return R_acc, t_acc, ia, ib, rms
+
+
+def refine_alignment(
+    lms_a: np.ndarray,
+    lms_b_in_a: np.ndarray,
+    radius_schedule: Tuple[float, ...] = (3.0, 1.5, 0.8, 0.4),
+    min_matches: int = 12,
+    yaw_sweep_deg: float = 24.0,
+    yaw_step_deg: float = 3.0,
+):
+    """Global alignment refinement of the coarse dock prior: a 1-D yaw sweep
+    with short ICP scoring, then iterated mutual-NN + global Kabsch fits
+    (point-set ICP) on the two sessions' triangulated landmark clouds.
+
+    The sweep exists because plain ICP's convergence basin is NARROW in yaw:
+    both session frames are gravity-aligned (each filter observes gravity),
+    so the inter-session rotation error is essentially pure yaw — but a few
+    degrees of it displaces far landmarks beyond the nearest-neighbor
+    matching radius (a 10 deg error moves a 7 m-away wall point ~1.2 m,
+    more than typical landmark spacing), and mutual-NN association locks
+    onto a wrong, self-consistent match set.  Sweeping candidate yaw
+    corrections (about the B cloud's centroid) and scoring each by short-ICP
+    match count / residual restores the basin at operator-grade prior noise.
+
+    Returns (R, t, idx_a, idx_b): the refinement maps prior-aligned B
+    coordinates into A (x_A = R x + t); the final match index arrays feed
+    ``intersession_edges``.  This global stage is the optimal
+    single-transform estimator (Horn); the pose graph downstream only adds
+    value through per-keyframe edges where the sessions' INTERNAL drift
+    varies along the trajectory."""
+    if yaw_sweep_deg > 0:
+        yaws = np.deg2rad(
+            np.arange(-yaw_sweep_deg, yaw_sweep_deg + 1e-9, yaw_step_deg)
+        )
+    else:
+        yaws = np.array([0.0])
+    # The z-offset needs its own sweep axis: a cylindrical-wall map is
+    # nearly invariant to vertical translation (NN association finds
+    # plausible height-shifted wrong matches), so ICP's basin is narrow in
+    # z exactly like it is in yaw.  Gravity alignment makes (yaw, dz) the
+    # two weakly-constrained prior axes; xy translation recovers fine
+    # inside the matching radius (wall curvature breaks xy invariance).
+    dzs = np.arange(-2.0, 2.0 + 1e-9, 0.5)
+    cB = lms_b_in_a.mean(axis=0)
+
+    def _sweep(xy_offsets):
+        best = None
+        for a in yaws:
+            c, s = np.cos(a), np.sin(a)
+            Rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+            for dxy in xy_offsets:
+                for dz in dzs:
+                    t0 = cB - Rz @ cB + np.array([dxy[0], dxy[1], dz])
+                    cur0 = lms_b_in_a @ Rz.T + t0
+                    R1, t1, ia, ib, rms = _icp_passes(
+                        lms_a, cur0, radius_schedule[:3], min_matches
+                    )
+                    score = (len(ia), -rms)
+                    if best is None or score > best[0]:
+                        best = (score, R1 @ Rz, R1 @ t0 + t1)
+        return best
+
+    # The xy translation basin of mutual-NN ICP is about half the landmark
+    # spacing, and near-symmetric rooms admit SELF-CONSISTENT wrong basins
+    # (measured: a yaw-aliased basin with 108/400 matches vs the true
+    # basin's 135-141 — any "looks locked" threshold picks wrong), so the
+    # xy grid is always swept and the best candidate wins on
+    # (match count, -rms) across the full (yaw, dxy, dz) grid.
+    g = (-1.6, 0.0, 1.6)
+    best = _sweep([(x, y) for x in g for y in g])
+    R_acc, t_acc = best[1], best[2]
+    # Polish from the winning candidate with the full schedule.
+    cur = lms_b_in_a @ R_acc.T + t_acc
+    R2, t2, ia, ib, _ = _icp_passes(lms_a, cur, radius_schedule, min_matches)
+    return R2 @ R_acc, R2 @ t_acc + t2, ia, ib
+
+
 def intersession_edges(
     sessA: SessionData,
     sessB: SessionData,
@@ -156,7 +251,28 @@ def intersession_edges(
         ej.append(Fa + kb)
         R_ms.append(R_m)
         t_ms.append(t_m)
-        ws.append(weight * min(1.0, obs_here.sum() / (2.0 * min_common)))
+        # Edge information from the local fit itself.  A Kabsch fit of n
+        # points with per-point residual rms has translation variance
+        # ~ rms^2/n AT THE LANDMARK CENTROID — but the edge constrains the
+        # KEYFRAME pose, a lever arm away, and the fit's rotation variance
+        # ~ rms^2/(n*lambda_min) (lambda_min = smallest principal spread^2
+        # of the local landmark cloud) is amplified by that arm.  Local
+        # subsets are the landmarks co-visible from one viewpoint — often
+        # thin (near-planar/collinear) geometry whose fits are rms-small
+        # yet transform-wrong; ignoring the geometry term was measured to
+        # drag the graph ~5 cm off the global-Kabsch alignment on accurate
+        # sessions.  var = rms^2/n * (1 + lever^2/lambda_min); w = 1/var
+        # (rms floored at 1 cm against overconfident fits).
+        n_c = float(obs_here.sum())
+        pts_b_a = pts_b @ R_loc.T + t_loc
+        res = pts_a - pts_b_a
+        rms2 = max(float(np.mean(np.sum(res * res, -1))), 1e-4)
+        ctr = pts_b_a.mean(axis=0)
+        C = pts_b_a - ctr
+        lam_min = max(float(np.linalg.eigvalsh(C.T @ C / n_c)[0]), 1e-2)
+        lever2 = float(np.sum((p_kb_a - ctr) ** 2))
+        var = rms2 / n_c * (1.0 + lever2 / lam_min)
+        ws.append(weight / var)
         if len(ei) >= max_edges:
             break
     if not ei:
@@ -175,13 +291,20 @@ def build_joint_graph(
     sessA: SessionData,
     sessB_in_a: SessionData,
     inter: Tuple[np.ndarray, ...],
-    odom_weight: float = 30.0,
+    odom_weight: float = 1.0e4,
     dtype=None,
 ) -> PoseGraph:
     """Joint pose graph: both sessions' odometry chains (relative poses from
     the VIO trajectories — locally accurate) + the inter-session edges.
     sessB poses must already be prior-mapped into A's frame (their odometry
-    edges are invariant to that rigid map)."""
+    edges are invariant to that rigid map).
+
+    ``odom_weight`` is the odometry edges' information (1/variance):
+    the default 1e4 corresponds to ~1 cm relative-pose noise between
+    consecutive keyframes — the filter's measured short-horizon accuracy.
+    Inter-session edges carry their own per-edge information from the local
+    Kabsch fit residuals (``intersession_edges``), so both edge families
+    live on one 1/variance scale and the solve balances them honestly."""
     import jax.numpy as jnp
 
     from .posegraph import odometry_edges

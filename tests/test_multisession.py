@@ -128,10 +128,17 @@ def test_joint_gate_end_to_end():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     from multisession_gate import run_multisession
 
+    # Operator-grade coarse prior (the gate's regime): the landmark tiers
+    # recover coarse priors down to the maps' own accuracy floor (~0.06 m
+    # here); a small prior is already AT that floor and cannot be improved
+    # (docs/STRESS_NOTES.md round 5).
     out = run_multisession(
-        duration=12.0, prior_yaw_deg=5.0, prior_trans_m=0.3,
+        duration=12.0, prior_yaw_deg=10.0, prior_trans_m=0.75,
         keyframe_stride=5, chunk=48, verbose=False,
     )
-    assert out["joint_ate_after"] < 0.6 * out["joint_ate_before"], out
-    assert out["joint_ate_after"] < 0.13, out  # the BASELINE gate bar
+    assert out["joint_ate_after_graph"] < 0.5 * out["joint_ate_prior"], out
+    assert out["joint_ate_after_graph"] < 0.13, out  # the BASELINE gate bar
+    # The pose-graph tier must not degrade the global-alignment tier (it
+    # may only add per-keyframe corrections on top of the Kabsch fit).
+    assert out["joint_ate_after_graph"] <= out["joint_ate_global_align"] + 0.02, out
     assert out["mesh_devices"] == 8
