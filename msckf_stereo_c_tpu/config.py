@@ -216,20 +216,20 @@ class FrontendConfig:
     # displacement estimate is exactly unbiased under patch = a*templ + b —
     # the anchor-refinement and low-SNR-window bias mechanism identified in
     # 'mixed' = 'gain' for the anchor alignment only, the damped joint
-    # translation+offset solve ('offset') elsewhere.  'anchor_gain' (the
-    # default) keeps the frame-to-frame solves on the raw reference-faithful
-    # path — BIT-identical to 'none' — and applies the affine solve ONLY to
-    # the anchor alignment: the one problem whose template (stored at birth)
-    # spans the full exposure-drift range, i.e. the identified noise-locked
-    # anchor-bias mechanism.  Measured on the 130 s TPU 5-seed protocol
-    # (docs/STRESS_NOTES.md round 5): every mode that touches the NOISY
-    # frame-to-frame solves loses somewhere — gain everywhere worst 0.150
-    # (the per-iteration gain d.o.f. consumes residual SNR in low-texture
-    # windows), zeromean freezes on DC-gradient ramps, and the damped
-    # offset solve ('mixed') DIVERGED on one seed draw — while the anchor
-    # problem's templates are high-SNR and benefit cleanly.  'none'
-    # restores the reference-faithful raw path everywhere.
-    klt_norm: str = "anchor_gain"
+    # translation+offset solve ('offset') elsewhere.  'anchor_gain' keeps
+    # the frame-to-frame solves on the raw reference-faithful path —
+    # BIT-identical to 'none' — and applies the affine solve ONLY to the
+    # anchor alignment.  The default stays 'none': the FULL 130 s TPU
+    # 5-seed protocol rejected every normalized mode (docs/STRESS_NOTES.md
+    # round 5) — gain everywhere worst 0.150 (the per-iteration gain
+    # d.o.f. consumes residual SNR in low-texture windows), zeromean
+    # freezes on DC-gradient ramps, damped-offset 'mixed' DIVERGED on one
+    # seed draw, and even anchor-only gain lost on a noise-dominated seed
+    # (0.1437 vs 0.1029: the gain is estimated from the NOISY current
+    # patch no matter how clean the template is).  The knobs remain for
+    # exposure-drift-dominated deployments, where 'gain' measured 2x
+    # better on the drift-heavy seed.
+    klt_norm: str = "none"
     # MXU precision for the front-end image GEMMs (pyramids, corr surfaces,
     # resampling).  "default" keeps the platform fast path (1-pass bf16 on
     # TPU); "tensorfloat32"/"float32" raise it.  The filter has its own knob

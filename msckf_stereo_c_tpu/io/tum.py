@@ -79,6 +79,13 @@ def evaluate_ate(
     ia, ib = associate(est_t, gt_t, max_dt)
     e = est_p[ia]
     g = gt_p[ib]
+    if not np.isfinite(e).all():
+        # A diverged estimate (NaN/inf positions) must report as a huge
+        # ATE, not crash the evaluation harness (Horn's SVD does not
+        # converge on non-finite input — hit by a filter blow-up during
+        # the round-5 klt_norm protocol).
+        inf = float("inf")
+        return AteResult(inf, inf, inf, inf, inf, inf, int(len(e)))
     if align and len(e) >= 3:
         R, t = horn_align(e, g)
         e = e @ R.T + t

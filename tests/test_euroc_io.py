@@ -158,3 +158,18 @@ def test_image_source_cv2_fallback(fake_euroc, monkeypatch):
         parts = [src.next(4), src.next(4), src.next(4)]  # last is short
     assert parts[2].shape[0] == 2
     np.testing.assert_array_equal(np.concatenate(parts), whole)
+
+
+def test_evaluate_ate_nonfinite_estimate_reports_inf():
+    """A diverged estimate (NaN/inf positions) must report ATE=inf, not
+    crash the Horn alignment (numpy SVD raises on non-finite input — hit
+    by a filter blow-up during the round-5 klt_norm protocol)."""
+    from msckf_stereo_c_tpu.io import evaluate_ate
+
+    t = np.arange(10, dtype=np.float64) * 0.05
+    gt = np.random.default_rng(0).normal(size=(10, 3))
+    est = gt.copy()
+    est[4] = np.nan
+    out = evaluate_ate(t, est, t, gt)
+    assert np.isinf(out.rmse) and np.isinf(out.max)
+    assert out.num_pairs == 10
